@@ -1,0 +1,215 @@
+"""Entity linking / URI-to-title resolution — the per-triple half of
+the reference's core transform.
+
+Reproduces the per-triple work of
+/root/reference/components/triplestowikipageconv.go:93-146 as a
+stateful actor-pool ``map_batches`` stage: each actor receives the
+broadcast sidecar once in ``__init__`` (``ray.put`` object ref, shared
+zero-copy via the object store) and resolves whole Arrow batches with
+vectorized pandas kernels. Output rows feed the groupby(subj) page
+fold (stages/fold.py) and the property-page aggregation
+(stages/properties.py); no operator-local accumulation survives a
+batch — that is what makes the stage retryable and the pipeline
+resumable.
+
+For sidecars too large to broadcast (~>1-2 GB/node) use
+``resolve_triples_join`` — a hash-partitioned equi-join on the lookup
+URI instead of a broadcast dict.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rdf2smw_ray.functions.wikititle import (
+    CATEGORY_PREDICATES,
+    DATATYPE_TO_HAS_TYPE,
+    clean_title_series,
+    local_name_series,
+    strip_namespace_suffixes_series,
+)
+from rdf2smw_ray.schemas import (
+    OBJ_IRI,
+    OBJ_LITERAL,
+    RESOLVED_SCHEMA,
+    URITYPE_UNDEFINED,
+)
+
+
+def _resolve_titles(uris: np.ndarray, title_dict: dict) -> dict[str, str]:
+    """Map unique URIs → factTitle: sidecar hit, else cleaned local name
+    (fallback path, triplestowikipageconv.go:214-221)."""
+    u = pd.Series(uris, dtype=object)
+    hit = u.map(title_dict)
+    miss = hit.isna()
+    if miss.any():
+        hit[miss] = clean_title_series(local_name_series(u[miss].astype(str)))
+    return dict(zip(uris, hit))
+
+
+def resolve_batch(batch: pa.Table, lookup: dict[str, dict]) -> pa.Table:
+    """Resolve one Arrow batch of triples → RESOLVED_SCHEMA rows."""
+    df = batch.to_pandas()
+    n = len(df)
+    if n == 0:
+        return RESOLVED_SCHEMA.empty_table()
+    title_dict = lookup["title"]
+    type_dict = lookup["uri_type"]
+    depth_dict = lookup["depth"]
+
+    kind = df["obj_kind"].to_numpy()
+    is_iri = kind == OBJ_IRI
+    is_lit = kind == OBJ_LITERAL
+
+    uniq = np.unique(
+        np.concatenate(
+            [df["subj"].to_numpy(), df["pred"].to_numpy(), df["obj"].to_numpy()[is_iri]]
+        )
+    )
+    tmap = _resolve_titles(uniq, title_dict)
+
+    subj_title = df["subj"].map(tmap)
+    subj_type = df["subj"].map(type_dict).fillna(URITYPE_UNDEFINED).astype("int32")
+    prop = df["pred"].map(tmap)
+    pred_title = "Property:" + prop
+    is_cat = df["pred"].isin(CATEGORY_PREDICATES)
+
+    # object value: IRI → resolved factTitle; literal → lexical value
+    # with the namespace-suffix regexes applied
+    # (triplestowikipageconv.go:104-117); blank → "" (falls through
+    # both branches in the reference)
+    lit_vals = strip_namespace_suffixes_series(df["obj"].astype(str))
+    value = pd.Series(np.where(is_iri, df["obj"].map(tmap), np.where(is_lit, lit_vals, "")), dtype=object)
+
+    depth = pd.Series(
+        np.where(is_cat.to_numpy(), df["obj"].map(depth_dict).fillna(0), 0),
+    ).astype("int32")
+
+    has_type = pd.Series(
+        np.where(
+            is_iri, "Page", df["obj_datatype"].map(DATATYPE_TO_HAS_TYPE).fillna("")
+        ),
+        dtype=object,
+    )
+
+    return pa.Table.from_pydict(
+        {
+            "subj": pa.array(df["subj"], pa.string()),
+            "seq": pa.array(df["seq"], pa.int64()),
+            "subj_title": pa.array(subj_title, pa.string()),
+            "subj_type": pa.array(subj_type, pa.int32()),
+            "property": pa.array(prop, pa.string()),
+            "pred_title": pa.array(pred_title, pa.string()),
+            "value": pa.array(value, pa.string()),
+            "is_cat": pa.array(is_cat, pa.bool_()),
+            "depth": pa.array(depth, pa.int32()),
+            "has_type": pa.array(has_type, pa.string()),
+        },
+        schema=RESOLVED_SCHEMA,
+    )
+
+
+class TripleResolver:
+    """Actor-pool stage: broadcast sidecar in ``__init__`` (once per
+    actor), vectorized resolution per batch."""
+
+    def __init__(self, sidecar_ref=None, lookup: dict | None = None):
+        if lookup is None:
+            import ray
+
+            lookup = ray.get(sidecar_ref)
+        self.lookup = lookup
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return resolve_batch(batch, self.lookup)
+
+
+def resolve_triples(
+    triples,
+    sidecar: pa.Table,
+    *,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 64 * 1024,
+):
+    """triples Dataset → resolved Dataset using a broadcast sidecar.
+
+    The sidecar dicts are ``ray.put`` once; every actor reads the same
+    object-store copy (never re-shipped per batch).
+    """
+    import ray
+
+    from rdf2smw_ray.stages.sidecar import sidecar_lookup
+
+    ref = ray.put(sidecar_lookup(sidecar))
+    return triples.map_batches(
+        TripleResolver,
+        fn_constructor_kwargs={"sidecar_ref": ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resolve_triples_join(triples, sidecar_ds, *, num_partitions: int = 64):
+    """Large-sidecar path: hash-partitioned joins instead of broadcast.
+
+    Joins the triples against the sidecar Dataset three times (on
+    ``subj``, ``pred`` and IRI ``obj``) with ``Dataset.join`` and then
+    applies the same vectorized finishers. Costs three shuffles of the
+    triple stream — use only when the sidecar cannot be broadcast.
+    """
+    import ray.data as rd
+
+    side = sidecar_ds if not isinstance(sidecar_ds, pa.Table) else rd.from_arrow(sidecar_ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lookup = {
+            "title": {},
+            "uri_type": {},
+            "depth": {},
+        }
+        # build per-batch mini-lookup from the joined columns
+        for col, key in (("subj", "s"), ("pred", "p"), ("obj", "o")):
+            t = df.get(f"title_{key}")
+            if t is not None:
+                mask = t.notna()
+                lookup["title"].update(dict(zip(df[col][mask], t[mask])))
+        ut = df.get("uri_type_s")
+        if ut is not None:
+            mask = ut.notna()
+            lookup["uri_type"].update(dict(zip(df["subj"][mask], ut[mask].astype(int))))
+        dp = df.get("depth_o")
+        if dp is not None:
+            mask = dp.notna()
+            lookup["depth"].update(dict(zip(df["obj"][mask], dp[mask].astype(int))))
+        cols = [c for c in batch.column_names if not (c.startswith("title_") or c.startswith("uri_type_") or c.startswith("depth_"))]
+        return resolve_batch(batch.select(cols), lookup)
+
+    joined = triples.join(
+        side.rename_columns(
+            {"uri": "subj", "title": "title_s", "uri_type": "uri_type_s", "depth": "depth_s"}
+        ),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("subj",),
+    )
+    joined = joined.join(
+        side.rename_columns(
+            {"uri": "pred", "title": "title_p", "uri_type": "uri_type_p", "depth": "depth_p"}
+        ),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("pred",),
+    )
+    joined = joined.join(
+        side.rename_columns(
+            {"uri": "obj", "title": "title_o", "uri_type": "uri_type_o", "depth": "depth_o"}
+        ),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("obj",),
+    )
+    return joined.map_batches(finish, batch_format="pyarrow")
