@@ -142,13 +142,15 @@ def resolve_triples(
 
     from rdf2smw_ray.stages.sidecar import sidecar_lookup
 
+    from rdf2smw_ray.util import pool
+
     ref = ray.put(sidecar_lookup(sidecar))
     return triples.map_batches(
         TripleResolver,
         fn_constructor_kwargs={"sidecar_ref": ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )
 
 
