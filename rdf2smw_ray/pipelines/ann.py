@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_brute_topk``: exact cosine top-k — per-batch numpy matmul
+  against a broadcast query vector (``ray.put`` once), local top-k per
+  batch, tiny global merge. The baseline.
+- ``lsh_buckets`` / ``ann_lsh_topk``: random-hyperplane LSH — the
+  scale path: probe only buckets matching the query signature instead
+  of scanning everything.
+- ``embedding_near_dup``: cosine near-duplicate pairs via LSH
+  bucketing + in-bucket verification.
+
+Scores are rounded to 6 decimals so cross-engine comparisons (DuckDB
+``list_cosine_similarity``) are stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-copy-ish)."""
+    lists = col.to_pylist()
+    return np.asarray(lists, dtype=np.float64)
+
+
+def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1e-12
+    return (mat @ qn) / norms
+
+
+class BruteTopK:
+    """Actor stage: query vector fetched once per actor."""
+
+    def __init__(self, query_ref=None, query=None, k=10):
+        if query is None:
+            import ray
+
+            query = ray.get(query_ref)
+        self.q = np.asarray(query, dtype=np.float64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch["embedding"])
+        scores = np.round(_cosine(mat, self.q), 6)
+        k = min(self.k, len(scores))
+        # local top-k (argpartition then exact sort)
+        idx = np.argpartition(-scores, k - 1)[:k] if k else np.array([], dtype=int)
+        ids = batch["vec_id"].to_numpy()[idx]
+        sc = scores[idx]
+        order = np.lexsort((ids, -sc))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(sc[order], pa.float64()),
+            }
+        )
+
+
+def ann_brute_topk(embeddings, query: np.ndarray, k: int = 10, *, concurrency=4):
+    """Exact cosine top-k of ``query`` over the embedding Dataset.
+
+    Per-batch local top-k (the only data that leaves a task is k rows),
+    then a driver-side merge of the partials — no global sort shuffle.
+    """
+    import ray
+
+    from rdf2smw_ray.util import pool
+
+    ref = ray.put(np.asarray(query, dtype=np.float64))
+    partials = embeddings.map_batches(
+        BruteTopK,
+        fn_constructor_kwargs={"query_ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=pool(concurrency),
+    ).to_pandas()
+    top = partials.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+    return top.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+def _planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    return (bits @ (1 << np.arange(planes.shape[0]))).astype(np.int64)
+
+
+class LshBucketer:
+    def __init__(self, planes_ref=None, planes=None):
+        if planes is None:
+            import ray
+
+            planes = ray.get(planes_ref)
+        self.planes = planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch["embedding"])
+        sig = _signatures(mat, self.planes)
+        return batch.append_column("bucket", pa.array(sig, pa.int64()))
+
+
+def lsh_buckets(embeddings, *, n_planes=12, dim=None, seed=42, concurrency=4):
+    """Append an LSH ``bucket`` column (deterministic, seeded)."""
+    import ray
+
+    from rdf2smw_ray.util import pool
+
+    if dim is None:
+        first = embeddings.take(1)[0]["embedding"]
+        dim = len(first)
+    planes = _planes(dim, n_planes, seed)
+    ref = ray.put(planes)
+    return embeddings.map_batches(
+        LshBucketer,
+        fn_constructor_kwargs={"planes_ref": ref},
+        batch_format="pyarrow",
+        concurrency=pool(concurrency),
+    )
+
+
+def ann_lsh_topk(embeddings, query: np.ndarray, k: int = 10, *, n_planes=8, seed=42, concurrency=4):
+    """Approximate top-k: only score rows whose bucket matches the
+    query signature (single-probe). Recall < 1 by design; the probe
+    count / plane count trade recall for scan fraction."""
+    q = np.asarray(query, dtype=np.float64)
+    bucketed = lsh_buckets(
+        embeddings, n_planes=n_planes, dim=len(q), seed=seed, concurrency=concurrency
+    )
+    qsig = int(_signatures(q[None, :], _planes(len(q), n_planes, seed))[0])
+
+    import pyarrow.compute as pc
+
+    candidates = bucketed.map_batches(
+        lambda t: t.filter(pc.equal(t["bucket"], qsig)), batch_format="pyarrow"
+    )
+    return ann_brute_topk(candidates, q, k, concurrency=concurrency)
+
+
+def embedding_near_dup(embeddings, *, threshold=0.95, n_planes=12, seed=42, concurrency=4):
+    """Near-duplicate vector pairs: LSH bucket → verify cosine within
+    bucket → (vec_id, dup_of) with vec_id > dup_of."""
+    bucketed = lsh_buckets(
+        embeddings, n_planes=n_planes, seed=seed, concurrency=concurrency
+    )
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        if len(df) < 2:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+            )
+        df = df.sort_values("vec_id")
+        mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-12
+        unit = mat / norms[:, None]
+        sim = unit @ unit.T
+        ids = df["vec_id"].to_numpy()
+        out_a, out_b = [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sim[i, j] >= threshold:
+                    out_a.append(int(ids[j]))
+                    out_b.append(int(ids[i]))
+        return pa.table(
+            {"vec_id": pa.array(out_a, pa.int64()), "dup_of": pa.array(out_b, pa.int64())}
+        )
+
+    edges = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return edges.groupby("vec_id").min("dup_of")

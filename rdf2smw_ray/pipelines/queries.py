@@ -1,0 +1,447 @@
+"""Driver-contract queries: one callable per implemented operator
+(SURVEY.md §2 + training-data ops), each over the parquet tables in an
+``sf_dir``, plus the matching DuckDB oracle SQL.
+
+Conventions for driver hash-parity (see __ray_entry__ docstring):
+- every aggregate/computed column is explicitly named the same in the
+  Ray code and the SQL;
+- float results are rounded (2–6 decimals) on BOTH sides;
+- counts/sums of ints are CAST to BIGINT in SQL to match int64;
+- timestamps returned as strings (strftime) to dodge unit mismatches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rdf2smw_ray.pipelines import relational
+from rdf2smw_ray.pipelines.ann import ann_brute_topk, ann_lsh_topk, embedding_near_dup
+from rdf2smw_ray.pipelines.dedup import exact_dedup, minhash_dedup, simhashes
+from rdf2smw_ray.pipelines.textstats import (
+    STOPWORDS,
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from rdf2smw_ray.stages.extract_triples import DEFAULT_GAZETTEER, GazetteerMentionExtractor
+
+GAZ_PATTERN = r"\b(" + "|".join(DEFAULT_GAZETTEER) + r")\b"
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# KG queries
+# ---------------------------------------------------------------------------
+def kg_mentions(sf_dir: str):
+    """Dictionary-based mention detection (one row per occurrence)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(
+        GazetteerMentionExtractor,
+        fn_constructor_kwargs={"terms": list(DEFAULT_GAZETTEER)},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+KG_MENTIONS_SQL = f"""
+SELECT doc_id, unnest(regexp_extract_all(text, '{GAZ_PATTERN}', 1)) AS term
+FROM documents ORDER BY doc_id, term
+"""
+
+
+def kg_mention_counts(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    mentions = ds.map_batches(
+        GazetteerMentionExtractor,
+        fn_constructor_kwargs={"terms": list(DEFAULT_GAZETTEER)},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("term", sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        mentions.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
+KG_MENTION_COUNTS_SQL = f"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_extract_all(text, '{GAZ_PATTERN}', 1)) AS term FROM documents
+) GROUP BY term ORDER BY term
+"""
+
+
+def kg_cooccur(sf_dir: str):
+    """Adjacent gazetteer-term pairs per document (bigram graph edges)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    mentions = ds.map_batches(
+        GazetteerMentionExtractor,
+        fn_constructor_kwargs={"terms": list(DEFAULT_GAZETTEER)},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["term_b"] = df.groupby("doc_id")["term"].shift(-1)
+        df = df[df["term_b"].notna()].rename(columns={"term": "term_a"})
+        g = df.groupby(["term_a", "term_b"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        mentions.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+KG_COOCCUR_SQL = f"""
+WITH m AS (
+  SELECT doc_id, regexp_extract_all(text, '{GAZ_PATTERN}', 1) AS terms FROM documents
+), u AS (
+  SELECT doc_id, unnest(terms) AS term, generate_subscripts(terms, 1) AS idx FROM m
+)
+SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# --- full front half: synth pages → extract_text → extract_triples --------
+_ENT = "http://kg.example.org/entity/Entity_"
+_CLS = "http://kg.example.org/class/Class_"
+_PROP = "http://kg.example.org/prop/"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+_RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+_OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+
+
+def kg_extracted_triples(sf_dir: str):
+    """The WHOLE front half under a value-checked oracle: documents →
+    synthetic web pages → html → extract_text → pattern extraction,
+    aggregated to (subj, pred, obj, n) counts. The SQL oracle derives
+    the same multiset directly from doc_id arithmetic — any divergence
+    in generator, html round-trip, or extractor rules shows up as a
+    hash mismatch."""
+    from rdf2smw_ray.sources.webpages import synth_web_pages
+    from rdf2smw_ray.stages.extract_text import extract_text
+    from rdf2smw_ray.stages.extract_triples import extract_triples
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    pages = synth_web_pages(docs)
+    triples = extract_triples(extract_text(pages, concurrency=2), concurrency=2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["subj", "pred", "obj"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        triples.map_batches(partial, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+
+KG_EXTRACTED_TRIPLES_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         (3*doc_id) % 1009 AS e1,
+         (3*doc_id+1) % 1009 AS e2,
+         ((3*doc_id) % 1009) % 8 AS k,
+         doc_id % 11 AS c
+  FROM documents
+), t AS (
+  SELECT '{_ENT}' || e1 AS subj, '{_RDFS_LABEL}' AS pred, 'Ent ' || e1 || ' Label' AS obj FROM d
+  UNION ALL SELECT '{_ENT}' || e1, '{_RDF_TYPE}', '{_CLS}' || k FROM d
+  UNION ALL SELECT '{_CLS}' || k, '{_RDF_TYPE}', '{_OWL_CLASS}' FROM d
+  UNION ALL SELECT '{_ENT}' || e1, '{_PROP}works_with', '{_ENT}' || e2 FROM d
+  UNION ALL SELECT '{_ENT}' || e1, '{_PROP}has_size', CAST(doc_id % 100 AS VARCHAR) FROM d
+  UNION ALL SELECT '{_ENT}' || e1, '{_PROP}refers_to', '{_ENT}' || '0' FROM d
+  UNION ALL SELECT '{_CLS}' || c, '{_RDFS_SUBCLASS}', '{_CLS}' || (c+1) FROM d WHERE c <= 6
+  UNION ALL SELECT '{_CLS}' || c, '{_RDF_TYPE}', '{_OWL_CLASS}' FROM d WHERE c <= 6
+  UNION ALL SELECT '{_CLS}' || (c+1), '{_RDF_TYPE}', '{_OWL_CLASS}' FROM d WHERE c <= 6
+  UNION ALL SELECT '{_CLS}' || k, '{_RDFS_LABEL}', 'Klass ' || k FROM d WHERE doc_id % 20 = 0
+  UNION ALL SELECT '{_ENT}' || '0', '{_RDFS_LABEL}', 'The Hub' FROM d WHERE doc_id % 50 = 0
+  UNION ALL SELECT '{_ENT}' || '0', '{_RDF_TYPE}', '{_CLS}' || '0' FROM d WHERE doc_id % 50 = 0
+  UNION ALL SELECT '{_CLS}' || '0', '{_RDF_TYPE}', '{_OWL_CLASS}' FROM d WHERE doc_id % 50 = 0
+)
+SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY subj, pred, obj ORDER BY subj, pred, obj
+"""
+
+
+def kg_pages(sf_dir: str):
+    """Full flagship pipeline; scalar page columns (rows-only check —
+    nested fact lists and rendering are covered by pytest oracles)."""
+    from rdf2smw_ray.pipelines.kg import flagship
+
+    out = flagship(sf_dir, concurrency=2)
+    content = out["content"].to_pandas()
+    props = out["properties"].to_pandas()
+    cols = ["title", "page_type", "specific_category", "subj"]
+    return (
+        pd.concat([content[cols], props[cols]])
+        .sort_values("title")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis queries
+# ---------------------------------------------------------------------------
+def q_token_stats(sf_dir: str):
+    out = token_stats(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality(sf_dir: str):
+    out = quality_score(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_STOP_SQL = r"\b(" + "|".join(STOPWORDS) + r")\b"
+QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       ROUND((length(text) - length(regexp_extract_all(text, '\\s')))
+             / GREATEST(length(regexp_extract_all(text, '\\S+')), 1)::DOUBLE, 6) AS avg_token_len,
+       ROUND(length(regexp_extract_all(text, '{_STOP_SQL}'))
+             / GREATEST(length(regexp_extract_all(text, '\\S+')), 1)::DOUBLE, 6) AS stop_ratio,
+       ROUND(length(regexp_extract_all(text, '[.!?,;:]'))
+             / GREATEST(length(text), 1)::DOUBLE, 6) AS punct_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(sf_dir: str):
+    out = lang_id(_docs(sf_dir, columns=["doc_id", "text"]), concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprints(sf_dir: str):
+    out = fingerprints(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dedup queries
+# ---------------------------------------------------------------------------
+def q_exact_dedup(sf_dir: str):
+    out = exact_dedup(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    agg_col = next(c for c in out.columns if "doc_id" in c)
+    out = out.rename(columns={agg_col: "kept_doc_id"})
+    out["kept_doc_id"] = out["kept_doc_id"].astype("int64")
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id
+FROM documents GROUP BY md5(text) ORDER BY text_hash
+"""
+
+
+def q_minhash_dedup(sf_dir: str):
+    out = minhash_dedup(_docs(sf_dir, columns=["doc_id", "text"]), concurrency=2).to_pandas()
+    if "doc_id" not in out.columns:  # zero near-dup edges
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
+        )
+    agg = next(c for c in out.columns if "dup_of" in c)
+    out = out.rename(columns={agg: "dup_of"})
+    out["dup_of"] = out["dup_of"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash(sf_dir: str):
+    out = simhashes(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    out["simhash"] = out["simhash"].astype("uint64").astype(str)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# ANN queries
+# ---------------------------------------------------------------------------
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    row = t.filter(pa.compute.equal(t["vec_id"], 0))
+    return np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    out = ann_brute_topk(_emb(sf_dir), _query_vec(sf_dir), k=10, concurrency=2)
+    out = out[["vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+ANN_TOPK_SQL = """
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    out = ann_lsh_topk(_emb(sf_dir), _query_vec(sf_dir), k=10, concurrency=2)
+    out = out[["vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    out = embedding_near_dup(_emb(sf_dir), threshold=0.9, concurrency=2).to_pandas()
+    if "vec_id" not in out.columns:  # zero near-dup edges
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
+        )
+    agg = next(c for c in out.columns if "dup_of" in c)
+    out = out.rename(columns={agg: "dup_of"})
+    out["dup_of"] = out["dup_of"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+def all_queries():
+    return {
+        # KG construction
+        "kg_mentions": kg_mentions,
+        "kg_mention_counts": kg_mention_counts,
+        "kg_cooccur": kg_cooccur,
+        "kg_extracted_triples": kg_extracted_triples,
+        "kg_pages": kg_pages,
+        # relational operator inventory
+        "pricing_summary": relational.pricing_summary,
+        "orders_per_nation": relational.orders_per_nation,
+        "top_orders": relational.top_orders,
+        "filter_highvalue": relational.filter_highvalue,
+        "distinct_event_types": relational.distinct_event_types,
+        "events_hourly": relational.events_hourly,
+        "revenue_per_orderpriority": relational.revenue_per_orderpriority,
+        # text analysis
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        # dedup
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        # similarity search
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+    }
+
+
+def all_oracle_sql():
+    return {
+        "kg_mentions": KG_MENTIONS_SQL,
+        "kg_mention_counts": KG_MENTION_COUNTS_SQL,
+        "kg_cooccur": KG_COOCCUR_SQL,
+        "kg_extracted_triples": KG_EXTRACTED_TRIPLES_SQL,
+        # kg_pages: non-SQL-expressible (full pipeline) → rows-only
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 4) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "orders_per_nation": """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS order_count,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+        "top_orders": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+        "filter_highvalue": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total
+FROM orders WHERE o_totalprice > 400000.0
+""",
+        "distinct_event_types": """
+SELECT DISTINCT event_type FROM events ORDER BY event_type
+""",
+        "events_hourly": """
+SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "revenue_per_orderpriority": """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "token_stats": TOKEN_STATS_SQL,
+        "quality_score": QUALITY_SQL,
+        # lang_id, fingerprints, minhash_dedup, simhash, ann_lsh_topk,
+        # embedding_near_dup: heuristic / hash-seeded → rows-only
+        "exact_dedup": EXACT_DEDUP_SQL,
+        "ann_topk": ANN_TOPK_SQL,
+    }

@@ -1,0 +1,269 @@
+"""Relational operator suite over the TPC-H-ish testdata tables.
+
+Demonstrates the engine's generic operator inventory — filter,
+project, partial+final aggregation, broadcast hash join, sort/top-k,
+distinct, tumbling window — each shaped for scale:
+
+- aggregations pre-reduce inside ``map_batches`` (one row per key per
+  batch) before the small final ``groupby`` (ray_guide "Aggregation at
+  scale");
+- dimension joins broadcast the small side via ``ray.put`` and map it
+  inside the stream (no shuffle);
+- top-k takes per-batch local top-k, merging only k rows per batch.
+
+Every function takes ``sf_dir`` and returns a pandas DataFrame with
+deterministic column names and rounded floats so the DuckDB oracle
+(oracle_sql in __ray_entry__) hash-matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: filter → partial agg → final agg
+# ---------------------------------------------------------------------------
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    final = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    final["sum_qty"] = final["sum_qty"].round(2)
+    final["sum_base_price"] = final["sum_base_price"].round(2)
+    final["sum_disc_price"] = final["sum_disc_price"].round(2)
+    final["avg_qty"] = (final["sum_qty"] / final["count_order"]).round(4)
+    final["count_order"] = final["count_order"].astype("int64")
+    return final.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join: orders ⟕ customer ⟕ nation → per-nation stats
+# ---------------------------------------------------------------------------
+def orders_per_nation(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"],
+            cust["c_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))),
+        )
+    )
+    ref = ray.put(cust_to_nation)
+
+    class JoinNation:
+        def __init__(self, lookup_ref):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["n_name"] = df["o_custkey"].map(self.lookup)
+            g = (
+                df.groupby("n_name", sort=False)
+                .agg(order_count=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
+                .reset_index()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    from rdf2smw_ray.util import pool
+
+    partials = orders.map_batches(
+        JoinNation,
+        fn_constructor_kwargs={"lookup_ref": ref},
+        batch_format="pyarrow",
+        concurrency=pool(4),
+    )
+    out = (
+        partials.groupby("n_name")
+        .aggregate(
+            Sum("order_count", alias_name="order_count"),
+            Sum("total_price", alias_name="total_price"),
+        )
+        .to_pandas()
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Filter + project + top-k (per-batch local top-k, merge k per batch)
+# ---------------------------------------------------------------------------
+def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k),
+            preserve_index=False,
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = partials.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.reset_index(drop=True)
+
+
+def filter_highvalue(sf_dir: str, threshold: float = 400000.0) -> pd.DataFrame:
+    """Vectorized filter + projection; returns count + aggregate only
+    (small result), not the row stream."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], threshold)),
+        batch_format="pyarrow",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table(
+            {"n": [len(df)], "total": [float(df["o_totalprice"].sum())]}
+        )
+
+    from ray.data.aggregate import Sum
+
+    p = filtered.map_batches(partial, batch_format="pyarrow")
+    res = p.aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    n = int(res["n"] or 0)
+    total = round(float(res["total"] or 0.0), 2)
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"), "total": [total]})
+
+
+# ---------------------------------------------------------------------------
+# Distinct / tumbling window over the events stream table
+# ---------------------------------------------------------------------------
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = sorted(v for v in ds.unique("event_type") if v is not None)
+    return pd.DataFrame({"event_type": pd.Series(vals, dtype=object)})
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per user: count + sum(value). Window =
+    groupby(key, floor(ts)) — the batch-engine restatement of a
+    streaming tumbling window (ray_guide 'Streaming-shaped
+    workloads')."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = (
+            df.groupby(["user_id", "hour"], sort=False)
+            .agg(n=("value", "size"), total=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total"] = out["total"].round(2)
+    out = out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+    # string timestamps dodge ns-vs-us unit mismatches vs the SQL oracle
+    out["hour"] = out["hour"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Large-side hash join demo (both sides big): lineitem ⋈ orders on orderkey
+# ---------------------------------------------------------------------------
+def revenue_per_orderpriority(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ orders via Ray's hash-partitioned ``Dataset.join``,
+    then partial+final aggregation per o_orderpriority."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby("o_orderpriority", sort=False)
+            .agg(revenue=("rev", "sum"), n_items=("rev", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

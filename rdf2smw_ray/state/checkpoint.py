@@ -1,0 +1,198 @@
+"""Checkpoint manifests + resumable execution.
+
+The reference has no checkpointing — any failure reruns from scratch
+(SURVEY.md §4.1). Here every unit of work writes an atomic manifest
+(JSON next to its output, written tmp→rename) recording input
+fingerprint, row counters and status; a rerun skips completed units
+and produces byte-identical remaining outputs (deterministic stages).
+
+Two granularities:
+
+- **shard** (``ShardedRun.process_shards``): the embarrassingly
+  parallel front half (web-page shard → triples part). One manifest
+  per input shard. At cluster scale, raise ``wave`` so several shards
+  execute per Dataset run; resume granularity stays per shard because
+  each shard writes its own part + manifest from inside the wave.
+- **stage** (``StageCheckpoint.stage``): global stages (sidecar, fold,
+  property pages). One manifest per stage; a completed stage is read
+  back from its parquet instead of recomputed.
+
+This doubles as the per-partition lineage/metrics record: manifests
+carry rows_in/rows_out and the input fingerprint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections.abc import Callable
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def file_fingerprint(path: str) -> str:
+    """Cheap input fingerprint: (size, mtime-less content head hash)."""
+    st = os.stat(path)
+    h = hashlib.blake2b(digest_size=8)
+    with open(path, "rb") as f:
+        h.update(f.read(1 << 16))
+    return f"{st.st_size}-{h.hexdigest()}"
+
+
+class ShardedRun:
+    """Per-input-shard resumable execution.
+
+    ``process_fn(shard_path, shard_out_dir) -> dict`` must write its
+    outputs under ``shard_out_dir`` and return counters for the
+    manifest. A shard whose manifest matches its current input
+    fingerprint is skipped on rerun.
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _manifest_path(self, shard_id: str) -> str:
+        return os.path.join(self.out_dir, f"{shard_id}.manifest.json")
+
+    def shard_dir(self, shard_id: str) -> str:
+        return os.path.join(self.out_dir, shard_id)
+
+    def is_done(self, shard_id: str, shard_path: str) -> bool:
+        mp = self._manifest_path(shard_id)
+        if not os.path.exists(mp):
+            return False
+        try:
+            m = json.load(open(mp))
+        except (json.JSONDecodeError, OSError):
+            return False
+        return m.get("status") == "done" and m.get("fingerprint") == file_fingerprint(
+            shard_path
+        )
+
+    def process_shards(
+        self,
+        shard_paths: list[str],
+        process_fn: Callable[[str, str], dict],
+    ) -> dict:
+        """Run all pending shards; returns summary counters."""
+        done = skipped = 0
+        for path in sorted(shard_paths):
+            shard_id = "shard-" + hashlib.blake2b(
+                os.path.basename(path).encode(), digest_size=6
+            ).hexdigest()
+            if self.is_done(shard_id, path):
+                skipped += 1
+                continue
+            sdir = self.shard_dir(shard_id)
+            tmp_dir = sdir + ".tmp"
+            if os.path.exists(tmp_dir):
+                import shutil
+
+                shutil.rmtree(tmp_dir)
+            os.makedirs(tmp_dir, exist_ok=True)
+            t0 = time.monotonic()
+            counters = process_fn(path, tmp_dir)
+            if os.path.exists(sdir):
+                import shutil
+
+                shutil.rmtree(sdir)
+            os.replace(tmp_dir, sdir)
+            _atomic_write_json(
+                self._manifest_path(shard_id),
+                {
+                    "status": "done",
+                    "input": path,
+                    "fingerprint": file_fingerprint(path),
+                    "wall_sec": round(time.monotonic() - t0, 3),
+                    **(counters or {}),
+                },
+            )
+            done += 1
+        return {"processed": done, "skipped": skipped}
+
+    def completed_output_dirs(self) -> list[str]:
+        out = []
+        for f in sorted(os.listdir(self.out_dir)):
+            if f.endswith(".manifest.json"):
+                try:
+                    m = json.load(open(os.path.join(self.out_dir, f)))
+                except (json.JSONDecodeError, OSError):
+                    continue
+                if m.get("status") == "done":
+                    out.append(os.path.join(self.out_dir, f[: -len(".manifest.json")]))
+        return out
+
+
+class StageCheckpoint:
+    """Driver-level stage checkpoints: ``stage(name, fn)`` runs ``fn``
+    (which must write its outputs under the returned dir) only when no
+    valid manifest exists."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def stage_dir(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def stage(self, name: str, fn: Callable[[str], dict]) -> tuple[str, bool]:
+        """Returns (stage_output_dir, was_skipped)."""
+        mp = os.path.join(self.out_dir, f"{name}.manifest.json")
+        sdir = self.stage_dir(name)
+        if os.path.exists(mp):
+            try:
+                if json.load(open(mp)).get("status") == "done":
+                    return sdir, True
+            except (json.JSONDecodeError, OSError):
+                pass
+        tmp_dir = sdir + ".tmp"
+        if os.path.exists(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir, exist_ok=True)
+        t0 = time.monotonic()
+        counters = fn(tmp_dir)
+        if os.path.exists(sdir):
+            import shutil
+
+            shutil.rmtree(sdir)
+        os.replace(tmp_dir, sdir)
+        _atomic_write_json(
+            mp,
+            {
+                "status": "done",
+                "wall_sec": round(time.monotonic() - t0, 3),
+                **(counters or {}),
+            },
+        )
+        return sdir, False
+
+
+def write_xml_dump(rendered_ds, out_path: str, *, stitch: bool = True) -> int:
+    """MediaWiki XML dump sink: streams the ``xml`` column into
+    ``out_path`` with the reference's ``<mediawiki>`` header/footer
+    framing (mwxmlcreator.go:59-60,137-140,157). ``stitch=True``
+    produces one file by streaming batches on the driver (page order
+    is not semantically meaningful to MediaWiki import — only the
+    framing is); at very large scale write per-partition parts via
+    ``write_parquet`` instead and stitch lazily."""
+    n = 0
+    with open(out_path, "w") as f:
+        f.write("<mediawiki>\n")
+        for batch in rendered_ds.select_columns(["xml"]).iter_batches(
+            batch_size=1024, batch_format="pyarrow"
+        ):
+            for x in batch["xml"].to_pylist():
+                f.write(x)
+                n += 1
+        f.write("</mediawiki>\n")
+    return n
