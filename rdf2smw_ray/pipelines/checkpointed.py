@@ -57,10 +57,15 @@ def run_kg_checkpointed(
 
     # ---- back half over ALL completed shards ----------------------------
     stages = StageCheckpoint(os.path.join(out_dir, "stages"))
-    triple_dirs = triples_run.completed_output_dirs()
+    triple_files = sorted(
+        os.path.join(d, f)
+        for d in triples_run.completed_output_dirs()
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
 
     result = rdf2smw_pipeline(
-        rd.read_parquet(triple_dirs),
+        rd.read_parquet(triple_files),
         use_templates=use_templates,
         salt=salt,
         resolver_concurrency=concurrency,

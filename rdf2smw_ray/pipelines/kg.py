@@ -29,8 +29,11 @@ def kg_pipeline(
 ):
     """web_pages Dataset → dict of output Datasets (see
     rdf2smw_pipeline) plus the canonical ``triples`` Dataset."""
-    pages_text = extract_text(web_pages, concurrency=concurrency)
-    triples = extract_triples(pages_text, concurrency=concurrency)
+    # Extract stages run as stateless tasks (compiled state cached per
+    # warm worker process); swap to actor pools via the stage wrappers
+    # when the extractors carry heavy state (models).
+    pages_text = extract_text(web_pages)
+    triples = extract_triples(pages_text)
     if materialize:
         triples = triples.materialize()
     out = rdf2smw_pipeline(

@@ -172,6 +172,26 @@ def read_ntriples(paths: str | list[str]):
     return ds.map_batches(parse_file, batch_format="pyarrow", batch_size=None)
 
 
+def read_ntriples_lines(paths: str | list[str]):
+    """Line-oriented alternative front-end (the reference's latent
+    FileReader → TripleParser path, filereader.go:18-63 +
+    tripleparser.go:11-38): ``ray.data.read_text`` → per-batch line
+    parse. Line order (and therefore ``seq``) follows Ray's text
+    reader, so use :func:`read_ntriples` when cross-file statement
+    order must be reproducible."""
+    import ray.data as rd
+
+    counter = {"base": 0}
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = pd.Series(batch["text"].to_pylist(), dtype=object)
+        base = counter["base"]
+        counter["base"] += len(lines)
+        return parse_ntriples_lines(lines, seq_base=base)
+
+    return rd.read_text(paths).map_batches(parse, batch_format="pyarrow")
+
+
 def triples_to_ntriples(table: pa.Table) -> str:
     """Serialize a TRIPLES_SCHEMA table to N-Triples text (seq order).
 

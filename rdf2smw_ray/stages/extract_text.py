@@ -64,12 +64,29 @@ class HtmlTextExtractor:
         return out
 
 
-def extract_text(web_pages, *, concurrency: int | tuple[int, int] = 4, batch_size: int = 256):
+_DEFAULT_EXTRACTOR = HtmlTextExtractor()
+
+
+def _extract_batch(batch: pa.Table) -> pa.Table:
+    return _DEFAULT_EXTRACTOR(batch)
+
+
+def extract_text(web_pages, *, concurrency: int | tuple[int, int] | None = None, batch_size: int = 256):
     """web_pages Dataset → same rows with ``text`` re-derived from
     ``html`` and the html column dropped. Small batch_size: html rows
-    are wide (binary payloads)."""
+    are wide (binary payloads).
+
+    Runs as stateless tasks by default — the extractor state (a few
+    compiled regexes) lives at module level, built once per worker
+    process, and Ray reuses warm workers across stages, so tasks avoid
+    the actor-pool spawn burst. Pass ``concurrency`` to force an actor
+    pool (the right shape once the extractor loads real models)."""
     from rdf2smw_ray.util import pool
 
+    if concurrency is None:
+        return web_pages.map_batches(
+            _extract_batch, batch_format="pyarrow", batch_size=batch_size
+        )
     return web_pages.map_batches(
         HtmlTextExtractor,
         batch_format="pyarrow",

@@ -217,10 +217,28 @@ class GazetteerMentionExtractor:
         )
 
 
-def extract_triples(pages, *, concurrency: int | tuple[int, int] = 4, batch_size: int = 1024):
-    """web pages (url, text) → triples Dataset (TRIPLES_SCHEMA)."""
+_DEFAULT_PATTERN_EXTRACTOR: PatternTripleExtractor | None = None
+
+
+def _extract_triples_batch(batch: pa.Table) -> pa.Table:
+    global _DEFAULT_PATTERN_EXTRACTOR
+    if _DEFAULT_PATTERN_EXTRACTOR is None:  # once per worker process
+        _DEFAULT_PATTERN_EXTRACTOR = PatternTripleExtractor()
+    return _DEFAULT_PATTERN_EXTRACTOR(batch)
+
+
+def extract_triples(pages, *, concurrency: int | tuple[int, int] | None = None, batch_size: int = 1024):
+    """web pages (url, text) → triples Dataset (TRIPLES_SCHEMA).
+
+    Stateless tasks by default (patterns compiled once per warm worker
+    process); pass ``concurrency`` for an actor pool when the
+    extractor carries heavy state (models, tokenizers)."""
     from rdf2smw_ray.util import pool
 
+    if concurrency is None:
+        return pages.map_batches(
+            _extract_triples_batch, batch_format="pyarrow", batch_size=batch_size
+        )
     return pages.map_batches(
         PatternTripleExtractor,
         batch_format="pyarrow",

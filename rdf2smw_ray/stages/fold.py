@@ -2,66 +2,111 @@
 
 Restates the reference's ``TripleAggregator`` + per-aggregate page
 construction (/root/reference/components/tripleaggregator.go:7-31 and
-triplestowikipageconv.go:85-151,148-150) as a keyed Ray Data
-aggregation over already-resolved rows:
+triplestowikipageconv.go:85-151) as a **combiner + keyed merge**:
 
-- facts: order-preserving first-wins dedup on (property, value)
-  (iptypes.go:53-64), order = first-occurrence ``seq`` order;
+1. ``_pack_batch`` (map_batches, no shuffle): vectorized per-batch
+   partial fold — first-wins dedup of facts on (subj, property, value)
+   and of category candidates on (subj, value, depth), then one packed
+   row per subject per batch (list columns). This is the combiner that
+   makes head-entity skew a non-issue: a subject with millions of
+   rows contributes ≤1 row per input block to the shuffle, so the
+   reduce-side group size is bounded by the block count, not the fact
+   count (the explicit skew handling required by the north rule —
+   batch-granular, strictly finer than key salting).
+2. ``groupby(subj)`` merge: concatenates a subject's few partials,
+   restores global order by ``seq`` (every kept entry carries the
+   minimum seq of its dedup key, so "first occurrence globally" is
+   exact), finalizes the page.
+
+Page semantics (bit-for-bit vs the reference, see tests):
+- facts: order-preserving first-wins dedup (iptypes.go:53-64);
 - categories: first-wins dedup on name (iptypes.go:70-81);
-- SpecificCategory: the category value of the first triple (in input
-  order) achieving the maximum super-category depth, only when that
-  depth > 0 (triplestowikipageconv.go:136-142) — "" otherwise (the
-  reference nil, which would crash its renderer; we fall back at
-  render time like mwxmlcreator.go:71-74 intends);
-- the "Equivalent URI" provenance fact appended last via the same
-  first-wins dedup (triplestowikipageconv.go:148-150).
-
-Skew: ``salt > 1`` enables the two-phase fold for head entities —
-phase 1 groups on ``(subj, seq % salt)`` and reduces each shard to
-deduped partials, phase 2 merges the (much smaller) partials per
-subject. The merge is exact: every partial keeps the minimum ``seq``
-per dedup key, so "first occurrence globally" is recoverable, and
-SpecificCategory candidates carry (value, depth, min seq) so the
-"first row achieving max depth" rule is preserved. Equivalence
-salted == unsalted is unit-tested.
+- SpecificCategory: value of the first triple (input order) achieving
+  the maximum super-category depth, only when depth > 0
+  (triplestowikipageconv.go:136-142);
+- "Equivalent URI" fact appended through the same dedup (:148-150).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from rdf2smw_ray.functions.wikititle import page_title
 from rdf2smw_ray.schemas import PAGES_SCHEMA
 
-_EMPTY_FACTS: list = []
+_PACKED_SCHEMA = pa.schema(
+    [
+        pa.field("subj", pa.string()),
+        pa.field("subj_title", pa.string()),
+        pa.field("subj_type", pa.int32()),
+        pa.field("min_seq", pa.int64()),
+        pa.field("props", pa.list_(pa.string())),
+        pa.field("vals", pa.list_(pa.string())),
+        pa.field("iscat", pa.list_(pa.bool_())),
+        pa.field("depths", pa.list_(pa.int32())),
+        pa.field("seqs", pa.list_(pa.int64())),
+    ]
+)
 
 
-def _finalize_page(
-    subj: str,
-    subj_title: str,
-    subj_type: int,
-    rows: pd.DataFrame,
+def _pack_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized partial fold: ≤1 packed row per subject per batch."""
+    df = batch.to_pandas()
+    if df.empty:
+        return _PACKED_SCHEMA.empty_table()
+    df = df.sort_values("seq", kind="mergesort")
+    facts = df[~df["is_cat"]].drop_duplicates(["subj", "property", "value"])
+    cats = df[df["is_cat"]].drop_duplicates(["subj", "value", "depth"])
+    part = pd.concat([facts, cats]).sort_values("seq", kind="mergesort")
+    g = part.groupby("subj", sort=False)
+    packed = pd.DataFrame(
+        {
+            "subj_title": g["subj_title"].first(),
+            "subj_type": g["subj_type"].first(),
+            "min_seq": g["seq"].min(),
+            "props": g["property"].agg(list),
+            "vals": g["value"].agg(list),
+            "iscat": g["is_cat"].agg(list),
+            "depths": g["depth"].agg(list),
+            "seqs": g["seq"].agg(list),
+        }
+    ).reset_index()
+    return pa.Table.from_pandas(packed, preserve_index=False).cast(_PACKED_SCHEMA)
+
+
+def _finalize(
+    subj: str, subj_title: str, subj_type: int, props, vals, iscat, depths, seqs
 ) -> dict:
-    """rows: columns property, value, is_cat, depth, sorted by seq,
-    already first-wins-deduped per kind (facts on (property, value),
-    categories on value) EXCEPT specific-category candidates which are
-    passed pre-dedup via (value, depth) in the ``cat_rows`` frame."""
-    facts_df = rows[~rows["is_cat"]]
-    cat_rows = rows[rows["is_cat"]]
-
-    facts = list(zip(facts_df["property"], facts_df["value"]))
-    if ("Equivalent URI", subj) not in set(facts):
-        facts.append(("Equivalent URI", subj))
-
-    cats = list(dict.fromkeys(cat_rows["value"]))
-
+    """Merge partial entry lists (already per-key deduped within each
+    partial) into the final page. Inputs are flat python/numpy arrays;
+    order restored by stable argsort on seq."""
+    order = np.argsort(np.asarray(seqs, dtype=np.int64), kind="stable")
+    facts: list[tuple[str, str]] = []
+    seen_facts: set[tuple[str, str]] = set()
+    cats: list[str] = []
+    seen_cats: set[str] = set()
     specific = ""
-    if len(cat_rows):
-        maxd = int(cat_rows["depth"].max())
-        if maxd > 0:
-            specific = cat_rows.loc[cat_rows["depth"] == maxd, "value"].iloc[0]
-
+    top = 0
+    for i in order:
+        v = vals[i]
+        if iscat[i]:
+            d = depths[i]
+            if d > top:
+                top = d
+                specific = v
+            if v not in seen_cats:
+                seen_cats.add(v)
+                cats.append(v)
+        else:
+            k = (props[i], v)
+            if k not in seen_facts:
+                seen_facts.add(k)
+                facts.append(k)
+    k = ("Equivalent URI", subj)
+    if k not in seen_facts:
+        facts.append(k)
     return {
         "title": page_title(subj_title, subj_type),
         "page_type": subj_type,
@@ -72,110 +117,46 @@ def _finalize_page(
     }
 
 
-def _pages_table(pages: list[dict]) -> pa.Table:
-    if not pages:
-        return PAGES_SCHEMA.empty_table()
-    return pa.Table.from_pydict(
-        {k: [p[k] for p in pages] for k in PAGES_SCHEMA.names}, schema=PAGES_SCHEMA
-    )
-
-
-def _fold_group(df: pd.DataFrame) -> pa.Table:
-    """One subject group (resolved rows) → one page row."""
-    df = df.sort_values("seq", kind="mergesort")
-    # dedup facts first-wins; keep ALL category rows (specific-category
-    # tracking happens pre-dedup in the reference)
-    dedup = pd.concat(
-        [
-            df[~df["is_cat"]].drop_duplicates(["property", "value"]),
-            df[df["is_cat"]],
-        ]
-    ).sort_values("seq", kind="mergesort")
-    page = _finalize_page(
-        df["subj"].iat[0], df["subj_title"].iat[0], int(df["subj_type"].iat[0]), dedup
-    )
-    return _pages_table([page])
-
-
-def _fold_partial(df: pd.DataFrame) -> pa.Table:
-    """Phase-1 (salted) partial fold: dedup within the shard, keep min
-    seq per key so the global merge can restore first-occurrence order."""
-    df = df.sort_values("seq", kind="mergesort")
-    facts = df[~df["is_cat"]].drop_duplicates(["property", "value"])
-    # distinct (value, depth) candidates with their first seq
-    cats = df[df["is_cat"]].drop_duplicates(["value", "depth"])
-    part = pd.concat([facts, cats]).sort_values("seq", kind="mergesort")
-    rows = [
-        {
-            "property": p,
-            "value": v,
-            "is_cat": bool(c),
-            "depth": int(d),
-            "seq": int(s),
-        }
-        for p, v, c, d, s in zip(
-            part["property"], part["value"], part["is_cat"], part["depth"], part["seq"]
+def _merge_group(df: pd.DataFrame) -> pa.Table:
+    """One subject's partials → one page row."""
+    if len(df) > 1:
+        df = df.sort_values("min_seq", kind="mergesort")
+        props = [p for row in df["props"] for p in row]
+        vals = [v for row in df["vals"] for v in row]
+        iscat = [c for row in df["iscat"] for c in row]
+        depths = [d for row in df["depths"] for d in row]
+        seqs = [s for row in df["seqs"] for s in row]
+    else:
+        r = df.iloc[0]
+        props, vals, iscat, depths, seqs = (
+            list(r["props"]),
+            list(r["vals"]),
+            list(r["iscat"]),
+            list(r["depths"]),
+            list(r["seqs"]),
         )
-    ]
-    return pa.table(
-        {
-            "subj": pa.array([df["subj"].iat[0]], pa.string()),
-            "subj_title": pa.array([df["subj_title"].iat[0]], pa.string()),
-            "subj_type": pa.array([int(df["subj_type"].iat[0])], pa.int32()),
-            "min_seq": pa.array([int(df["seq"].iat[0])], pa.int64()),
-            "rows": pa.array(
-                [rows],
-                pa.list_(
-                    pa.struct(
-                        [
-                            ("property", pa.string()),
-                            ("value", pa.string()),
-                            ("is_cat", pa.bool_()),
-                            ("depth", pa.int32()),
-                            ("seq", pa.int64()),
-                        ]
-                    )
-                ),
-            ),
-        }
+    page = _finalize(
+        df["subj"].iat[0],
+        df["subj_title"].iat[0],
+        int(df["subj_type"].iat[0]),
+        props,
+        vals,
+        iscat,
+        depths,
+        seqs,
     )
-
-
-def _merge_partials(df: pd.DataFrame) -> pa.Table:
-    """Phase-2: merge a subject's partials into the final page."""
-    df = df.sort_values("min_seq", kind="mergesort")
-    all_rows = [r for part in df["rows"] for r in part]
-    rows = pd.DataFrame(all_rows).sort_values("seq", kind="mergesort")
-    dedup = pd.concat(
-        [
-            rows[~rows["is_cat"]].drop_duplicates(["property", "value"]),
-            rows[rows["is_cat"]].drop_duplicates(["value", "depth"]),
-        ]
-    ).sort_values("seq", kind="mergesort")
-    page = _finalize_page(
-        df["subj"].iat[0], df["subj_title"].iat[0], int(df["subj_type"].iat[0]), dedup
+    return pa.Table.from_pydict(
+        {k: [page[k]] for k in PAGES_SCHEMA.names}, schema=PAGES_SCHEMA
     )
-    return _pages_table([page])
 
 
 def fold_pages(resolved, *, salt: int = 1):
-    """resolved Dataset → pages Dataset (PAGES_SCHEMA), one row per subject.
+    """resolved Dataset → pages Dataset (PAGES_SCHEMA), one row per
+    subject.
 
-    ``salt=1``: single groupby(subj). ``salt=K>1``: two-phase salted
-    fold for head-entity skew — shard key is ``seq % K`` so a hot
-    subject's rows spread over K reducers before the tiny final merge.
+    ``salt`` is accepted for API stability but the combiner makes it
+    moot: partial folding is always batch-granular (finer than any
+    salt), so the keyed shuffle only ever moves deduped packed rows.
     """
-    if salt <= 1:
-        return resolved.groupby("subj").map_groups(_fold_group, batch_format="pandas")
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        shard = (batch["seq"].to_numpy() % salt).astype(np.int32)
-        return batch.append_column("shard", pa.array(shard, pa.int32()))
-
-    salted = resolved.map_batches(add_salt, batch_format="pyarrow")
-    partials = salted.groupby(["subj", "shard"]).map_groups(
-        _fold_partial, batch_format="pandas"
-    )
-    return partials.groupby("subj").map_groups(_merge_partials, batch_format="pandas")
+    packed = resolved.map_batches(_pack_batch, batch_format="pyarrow")
+    return packed.groupby("subj").map_groups(_merge_group, batch_format="pandas")

@@ -126,25 +126,62 @@ class TripleResolver:
         return resolve_batch(batch, self.lookup)
 
 
+_TASK_LOOKUP_CACHE: dict[str, dict] = {}
+
+
+def _resolve_task(batch: pa.Table, ref) -> pa.Table:
+    """Task-mode resolver: the broadcast lookup is fetched once per
+    worker process and cached (warm workers are reused across tasks)."""
+    import ray
+
+    key = ref.hex()
+    lookup = _TASK_LOOKUP_CACHE.get(key)
+    if lookup is None:
+        lookup = ray.get(ref)
+        _TASK_LOOKUP_CACHE.clear()  # never hold more than one sidecar
+        _TASK_LOOKUP_CACHE[key] = lookup
+    return resolve_batch(batch, lookup)
+
+
+# Below this many sidecar entries, task mode (per-process cached fetch)
+# beats paying an actor-pool spawn burst; above it, dedicated actors
+# amortize the deserialization of a giant dict.
+_ACTOR_MODE_THRESHOLD = 2_000_000
+
+
 def resolve_triples(
     triples,
     sidecar: pa.Table,
     *,
     concurrency: int | tuple[int, int] = 4,
     batch_size: int = 64 * 1024,
+    mode: str = "auto",  # "auto" | "task" | "actor"
 ):
     """triples Dataset → resolved Dataset using a broadcast sidecar.
 
-    The sidecar dicts are ``ray.put`` once; every actor reads the same
-    object-store copy (never re-shipped per batch).
+    The sidecar dicts are ``ray.put`` once; every worker reads the same
+    object-store copy (never re-shipped per batch). ``mode="task"``
+    (auto-chosen for small sidecars) runs on Ray's warm task workers
+    with a per-process cache; ``"actor"`` pins a pool that holds the
+    deserialized dict for its lifetime — the right shape for sidecars
+    with millions of entries.
     """
+    import functools
+
     import ray
 
     from rdf2smw_ray.stages.sidecar import sidecar_lookup
-
     from rdf2smw_ray.util import pool
 
     ref = ray.put(sidecar_lookup(sidecar))
+    if mode == "auto":
+        mode = "task" if sidecar.num_rows < _ACTOR_MODE_THRESHOLD else "actor"
+    if mode == "task":
+        return triples.map_batches(
+            functools.partial(_resolve_task, ref=ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return triples.map_batches(
         TripleResolver,
         fn_constructor_kwargs={"sidecar_ref": ref},

@@ -13,22 +13,24 @@ random-access lookups during conversion
 
 So the sidecar keeps exactly ``{uri, title, uri_type, depth}`` for the
 subjects that carry any of those triples — a tiny filtered projection
-of the dataset (∝ titled/typed entities, not facts). Small side →
-broadcast with ``ray.put``; see ``stages/resolve.py`` for the lookup
-consumers and the partitioned-join fallback.
+of the dataset (∝ titled/typed entities, not facts).
 
-Scale notes: the two groupbys here run over the *filtered* triples
-(title + type predicates only), with per-batch partial reduction
-before the shuffle. The class-graph depth walk runs on the driver over
-the class-only subgraph (objects of type/subClassOf triples and their
-edges), which is bounded by ontology size, not data size.
+Execution shape: ONE distributed pass over the triples
+(``map_batches`` partial-reducing each batch to per-subject candidate
+rows tagged by kind), then a driver-side final reduce — the partials
+are already per-subject-per-batch, so what reaches the driver is
+bounded by (titled/typed subjects × blocks), and the driver holds the
+assembled sidecar anyway (it IS the broadcast payload). The class-only
+depth walk (objects of type/subClassOf triples and their edges) is
+bounded by ontology size, not data size. For sidecars too big for one
+machine, resolve with the partitioned-join path
+(stages/resolve.py::resolve_triples_join) instead of broadcast.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from rdf2smw_ray.functions.wikititle import (
     CATEGORY_PREDICATES,
@@ -46,7 +48,6 @@ from rdf2smw_ray.schemas import (
     URITYPE_UNDEFINED,
 )
 
-_LOOKUP_PREDS = list(TITLE_PROPERTIES) + list(CATEGORY_PREDICATES)
 _TITLE_PRIORITY = {p: i for i, p in enumerate(TITLE_PROPERTIES)}
 _TYPE_OBJ_TO_URITYPE = {
     **{p: URITYPE_PREDICATE for p in PROPERTY_TYPES},
@@ -55,58 +56,69 @@ _TYPE_OBJ_TO_URITYPE = {
 
 MAX_DEPTH = 64  # cycle guard — the reference would recurse forever on a cycle
 
+# partial-row kinds
+_K_TITLE, _K_TYPE, _K_EDGE = 0, 1, 2
 
-def _filter_lookup_triples(batch: pa.Table) -> pa.Table:
-    return batch.filter(pc.is_in(batch["pred"], value_set=pa.array(_LOOKUP_PREDS)))
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.int8()),
+        pa.field("subj", pa.string()),
+        pa.field("obj", pa.string()),  # raw title / type obj / edge obj
+        pa.field("prio", pa.int32()),  # title priority (titles only)
+        pa.field("seq", pa.int64()),
+    ]
+)
 
 
-def _title_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch partial: best (priority, seq) title candidate per subject."""
+def _sidecar_partial(batch: pa.Table) -> pa.Table:
+    """Single-pass per-batch partial: best title candidate + earliest
+    classifying type triple per subject, plus distinct class edges."""
     df = batch.to_pandas()
-    df = df[df["pred"].isin(_TITLE_PRIORITY)]
-    if df.empty:
-        return pa.table(
-            {"subj": pa.array([], pa.string()), "prio": pa.array([], pa.int64()),
-             "seq": pa.array([], pa.int64()), "raw_title": pa.array([], pa.string())}
+    parts = []
+
+    titles = df[df["pred"].isin(_TITLE_PRIORITY)]
+    if len(titles):
+        t = titles.assign(prio=titles["pred"].map(_TITLE_PRIORITY).astype("int32"))
+        t = t.sort_values(["prio", "seq"], kind="mergesort").drop_duplicates("subj")
+        parts.append(
+            pd.DataFrame(
+                {"kind": _K_TITLE, "subj": t["subj"], "obj": t["obj"], "prio": t["prio"], "seq": t["seq"]}
+            )
         )
-    df = df.assign(prio=df["pred"].map(_TITLE_PRIORITY))
-    df = df.sort_values(["prio", "seq"], kind="mergesort").drop_duplicates("subj")
-    return pa.Table.from_pandas(
-        df[["subj", "prio", "seq"]].assign(raw_title=df["obj"]), preserve_index=False
-    )
 
-
-def _type_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch partial: earliest classifying type triple per subject
-    (determineType scans triples in order — triplestowikipageconv.go:177-195)."""
-    df = batch.to_pandas()
-    df = df[(df["pred"] == TYPE_PROPERTY_URI) & df["obj"].isin(_TYPE_OBJ_TO_URITYPE)]
-    if df.empty:
-        return pa.table(
-            {"subj": pa.array([], pa.string()), "seq": pa.array([], pa.int64()),
-             "uri_type": pa.array([], pa.int32())}
+    types = df[
+        (df["pred"] == TYPE_PROPERTY_URI) & df["obj"].isin(_TYPE_OBJ_TO_URITYPE)
+    ]
+    if len(types):
+        ty = types.sort_values("seq", kind="mergesort").drop_duplicates("subj")
+        parts.append(
+            pd.DataFrame(
+                {"kind": _K_TYPE, "subj": ty["subj"], "obj": ty["obj"], "prio": 0, "seq": ty["seq"]}
+            )
         )
-    df = df.sort_values("seq", kind="mergesort").drop_duplicates("subj")
-    return pa.table(
-        {
-            "subj": pa.array(df["subj"], pa.string()),
-            "seq": pa.array(df["seq"], pa.int64()),
-            "uri_type": pa.array(
-                df["obj"].map(_TYPE_OBJ_TO_URITYPE).astype("int32"), pa.int32()
-            ),
-        }
-    )
 
+    edges = df[df["pred"].isin(CATEGORY_PREDICATES)]
+    if len(edges):
+        e = edges.drop_duplicates(["subj", "obj"])
+        parts.append(
+            pd.DataFrame(
+                {"kind": _K_EDGE, "subj": e["subj"], "obj": e["obj"], "prio": 0, "seq": e["seq"]}
+            )
+        )
 
-def _first_per_key(df: pd.DataFrame, order_cols: list[str]) -> pd.DataFrame:
-    return df.sort_values(order_cols, kind="mergesort").drop_duplicates("subj")
+    if not parts:
+        return _PARTIAL_SCHEMA.empty_table()
+    out = pd.concat(parts, ignore_index=True)
+    out["kind"] = out["kind"].astype("int8")
+    out["prio"] = out["prio"].astype("int32")
+    return pa.Table.from_pandas(out, preserve_index=False).cast(_PARTIAL_SCHEMA)
 
 
 def compute_depths(edges: pd.DataFrame, eval_uris: list[str]) -> dict[str, int]:
     """Super-category depth per URI (countSuperCategories,
     triplestowikipageconv.go:278-292): d(u) = max over u's
-    type/subClassOf triples of d(obj)+1, else 0. Memoized, iterative,
-    capped at MAX_DEPTH on cycles (the reference would stack-overflow)."""
+    type/subClassOf triples of d(obj)+1, else 0. Memoized, capped at
+    MAX_DEPTH on cycles (the reference would stack-overflow)."""
     adj: dict[str, list[str]] = {}
     for s, o in zip(edges["subj"], edges["obj"]):
         adj.setdefault(s, []).append(o)
@@ -126,70 +138,48 @@ def compute_depths(edges: pd.DataFrame, eval_uris: list[str]) -> dict[str, int]:
 
 
 def build_sidecar(triples) -> pa.Table:
-    """Build the sidecar lookup table from a triples Dataset.
-
-    Returns a driver-resident Arrow table (SIDECAR_SCHEMA). Distributed
-    work: filter + per-batch partial reduce + two small groupbys; only
-    the already-reduced per-subject rows reach the driver.
-    """
-    relevant = (
+    """Build the sidecar lookup table from a triples Dataset in one
+    distributed pass + a driver-side reduce. Returns a driver-resident
+    Arrow table (SIDECAR_SCHEMA)."""
+    partials = (
         triples.select_columns(["subj", "pred", "obj", "seq"])
-        .map_batches(_filter_lookup_triples, batch_format="pyarrow")
-        .materialize()  # tiny (metadata triples only); reused three times
+        .map_batches(_sidecar_partial, batch_format="pyarrow")
+        .to_pandas()
     )
+    if partials.empty:
+        return SIDECAR_SCHEMA.empty_table()
 
-    # --- titles: best (priority, seq) per subject -------------------------
-    title_partials = relevant.map_batches(_title_partial, batch_format="pyarrow")
-    titles = title_partials.groupby("subj").map_groups(
-        lambda df: _first_per_key(df, ["prio", "seq"]), batch_format="pandas"
-    )
-    titles_pdf = titles.to_pandas()
+    titles = partials[partials["kind"] == _K_TITLE]
+    titles = titles.sort_values(["prio", "seq"], kind="mergesort").drop_duplicates("subj")
 
-    # --- types: earliest classifying triple per subject -------------------
-    type_partials = relevant.map_batches(_type_partial, batch_format="pyarrow")
-    types = type_partials.groupby("subj").map_groups(
-        lambda df: _first_per_key(df, ["seq"]), batch_format="pandas"
-    )
-    types_pdf = types.to_pandas()
+    types = partials[partials["kind"] == _K_TYPE]
+    types = types.sort_values("seq", kind="mergesort").drop_duplicates("subj")
+    types = types.assign(uri_type=types["obj"].map(_TYPE_OBJ_TO_URITYPE).astype("int32"))
 
-    # --- depths: driver-side walk of the class-only subgraph -------------
-    def _cat_edges(batch: pa.Table) -> pa.Table:
-        m = pc.is_in(batch["pred"], value_set=pa.array(list(CATEGORY_PREDICATES)))
-        t = batch.filter(m)
-        return t.select(["subj", "obj"])
-
-    cat_edges = relevant.map_batches(_cat_edges, batch_format="pyarrow")
-    uniq_objs = cat_edges.unique("obj") or []  # None on an empty dataset
-    eval_uris = [u for u in uniq_objs if u is not None]
+    edges = partials[partials["kind"] == _K_EDGE].drop_duplicates(["subj", "obj"])
+    eval_uris = sorted(set(edges["obj"]))
     eval_set = set(eval_uris)
-    if eval_set:
-        cls_edges = cat_edges.map_batches(
-            lambda t: t.filter(
-                pc.is_in(t["subj"], value_set=pa.array(sorted(eval_set)))
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-    else:
-        cls_edges = pd.DataFrame({"subj": [], "obj": []})
+    cls_edges = edges[edges["subj"].isin(eval_set)]
     depths = compute_depths(cls_edges, eval_uris)
 
-    # --- assemble ---------------------------------------------------------
     uris: dict[str, dict] = {}
-    for r in titles_pdf.itertuples():
-        uris.setdefault(r.subj, {})["raw_title"] = r.raw_title
-    for r in types_pdf.itertuples():
+    for r in titles.itertuples():
+        uris.setdefault(r.subj, {})["raw_title"] = r.obj
+    for r in types.itertuples():
         uris.setdefault(r.subj, {})["uri_type"] = int(r.uri_type)
     for u, d in depths.items():
         if d > 0:
             uris.setdefault(u, {})["depth"] = d
 
     keys = sorted(uris)
+    if not keys:
+        return SIDECAR_SCHEMA.empty_table()
     raw = pd.Series([uris[k].get("raw_title", "") for k in keys], dtype=object)
     # empty title value falls back to the local name, exactly like a
     # missing one (triplestowikipageconv.go:215-221)
     fallback = raw.eq("") | raw.isna()
     raw = raw.where(~fallback, local_name_series(pd.Series(keys, dtype=object)))
-    final_titles = clean_title_series(raw.astype(str)) if keys else pd.Series([], dtype=object)
+    final_titles = clean_title_series(raw.astype(str))
 
     return pa.Table.from_pydict(
         {
@@ -205,7 +195,7 @@ def build_sidecar(triples) -> pa.Table:
 
 
 def sidecar_lookup(sidecar: pa.Table) -> dict[str, dict]:
-    """Three plain dicts for fast ``Series.map`` lookups inside actors."""
+    """Three plain dicts for fast ``Series.map`` lookups inside workers."""
     uris = sidecar["uri"].to_pylist()
     return {
         "title": dict(zip(uris, sidecar["title"].to_pylist())),

@@ -1,0 +1,94 @@
+"""Resume-from-checkpoint: crash mid-run → rerun skips completed
+shards and the final outputs equal an uninterrupted run's."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from rdf2smw_ray.pipelines.checkpointed import run_kg_checkpointed
+from rdf2smw_ray.sources.webpages import synth_batch
+
+
+def _make_shards(tmp_path, n_shards=4, docs_per_shard=10):
+    paths = []
+    for s in range(n_shards):
+        ids = list(range(s * docs_per_shard, (s + 1) * docs_per_shard))
+        docs = pa.table(
+            {
+                "doc_id": ids,
+                "text": [f"boiler {i}" for i in ids],
+                "lang": ["en"] * len(ids),
+            }
+        )
+        pages = synth_batch(docs)
+        p = str(tmp_path / f"web_pages_{s:03d}.parquet")
+        pq.write_table(pages, p)
+        paths.append(p)
+    return paths
+
+
+def _pages_frame(pages_dir):
+    df = rd.read_parquet(pages_dir).to_pandas()
+    df["facts"] = df["facts"].map(
+        lambda fs: tuple((f["property"], f["value"]) for f in fs)
+    )
+    df["categories"] = df["categories"].map(tuple)
+    return df.sort_values("title").reset_index(drop=True)
+
+
+def test_crash_resume_identical_output(tmp_path):
+    shards = _make_shards(tmp_path)
+
+    # uninterrupted reference run
+    ref_out = str(tmp_path / "ref")
+    ref = run_kg_checkpointed(shards, ref_out, concurrency=2)
+
+    # crashing run: fails after 2 shards
+    crash_out = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_kg_checkpointed(shards, crash_out, concurrency=2, fail_after_shards=2)
+
+    manifests = [
+        f
+        for f in os.listdir(os.path.join(crash_out, "triples"))
+        if f.endswith(".manifest.json")
+    ]
+    assert len(manifests) == 2  # two shards completed before the crash
+    for m in manifests:
+        payload = json.load(open(os.path.join(crash_out, "triples", m)))
+        assert payload["status"] == "done"
+        assert payload["rows_out"] > 0
+        assert "fingerprint" in payload
+
+    # resume: completed shards skipped, the rest processed
+    res = run_kg_checkpointed(shards, crash_out, concurrency=2)
+    assert res["shards"] == {"processed": 2, "skipped": 2}
+
+    ref_pages = _pages_frame(ref["pages_dir"])
+    res_pages = _pages_frame(res["pages_dir"])
+    assert ref_pages[["title", "page_type", "facts", "categories"]].equals(
+        res_pages[["title", "page_type", "facts", "categories"]]
+    )
+
+
+def test_second_run_skips_everything(tmp_path):
+    shards = _make_shards(tmp_path, n_shards=2, docs_per_shard=5)
+    out = str(tmp_path / "out")
+    run_kg_checkpointed(shards, out, concurrency=2)
+    res2 = run_kg_checkpointed(shards, out, concurrency=2)
+    assert res2["shards"] == {"processed": 0, "skipped": 2}
+
+
+def test_xml_dump_framing(tmp_path):
+    shards = _make_shards(tmp_path, n_shards=1, docs_per_shard=5)
+    out = str(tmp_path / "out")
+    run_kg_checkpointed(shards, out, concurrency=2, write_xml=True)
+    xml = open(os.path.join(out, "pages.xml")).read()
+    assert xml.startswith("<mediawiki>\n")
+    assert xml.rstrip().endswith("</mediawiki>")
+    assert "<page>" in xml and "<ns>0</ns>" in xml
