@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from rdf2smw_ray.pipelines import relational
+from rdf2smw_ray.pipelines import relational, windows
 from rdf2smw_ray.pipelines.ann import ann_brute_topk, ann_lsh_topk, embedding_near_dup
 from rdf2smw_ray.pipelines.dedup import exact_dedup, minhash_dedup, simhashes
 from rdf2smw_ray.pipelines.textstats import (
@@ -355,6 +355,16 @@ def q_embedding_near_dup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing over synthetic media derived from the
+    embeddings ids: synth → decode → resize/frame-sample → features."""
+    from rdf2smw_ray.pipelines.multimodal import media_features, synth_media
+
+    ids = _emb(sf_dir).select_columns(["vec_id"])
+    out = media_features(synth_media(ids), concurrency=2).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -387,6 +397,13 @@ def all_queries():
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        # stream-shaped / join variants
+        "sessionize": windows.sessionize,
+        "asof_click_before_purchase": windows.asof_click_before_purchase,
+        "customers_without_orders": windows.customers_without_orders,
+        "orders_from_europe": windows.orders_from_europe,
+        # multimodal
+        "media_features": q_media_features,
     }
 
 
@@ -444,4 +461,9 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         # embedding_near_dup: heuristic / hash-seeded → rows-only
         "exact_dedup": EXACT_DEDUP_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        "sessionize": windows.SESSIONIZE_SQL,
+        "asof_click_before_purchase": windows.ASOF_SQL,
+        "customers_without_orders": windows.ANTI_JOIN_SQL,
+        "orders_from_europe": windows.SEMI_JOIN_SQL,
+        # media_features: fake-codec features → rows-only (pytest golden)
     }

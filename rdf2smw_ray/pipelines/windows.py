@@ -1,0 +1,217 @@
+"""Stream-shaped operators over the bounded events table: session
+windows, as-of joins, semi/anti joins.
+
+Ray Data has no event-time watermarks; the batch restatement
+(ray_guide "Streaming-shaped workloads") treats events as an ordered,
+user-partitioned log: ``groupby(user_id).map_groups`` with the group
+sorted by (ts, event_id). The ordering assumption — all of a key's
+events fit one group and are processed in ts order — is the same
+contract a keyed streaming shuffle provides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user (gap-based): a new session starts when
+    the time since the previous event exceeds ``gap_minutes``.
+    Returns one row per session with count / span / value total."""
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        brk = (df["ts"].diff() > gap).astype("int64")
+        df = df.assign(session_id=brk.cumsum())
+        g = (
+            df.groupby("session_id", sort=True)
+            .agg(
+                n=("event_id", "size"),
+                s_start=("ts", "min"),
+                s_end=("ts", "max"),
+                total=("value", "sum"),
+            )
+            .reset_index()
+        )
+        g.insert(0, "user_id", df["user_id"].iat[0])
+        g["total"] = g["total"].round(2)
+        g["s_start"] = g["s_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        g["s_end"] = g["s_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["session_id"] = out["session_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+SESSIONIZE_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value, event_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end,
+       ROUND(SUM(value), 2) AS total
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def asof_click_before_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join within the events log: for every ``purchase``, the
+    most recent strictly-earlier ``click`` by the same user.
+    ``merge_asof`` per user group (sorted) — the per-bucket as-of
+    pattern from the ray_guide."""
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type", "value"])
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        buys = df[df["event_type"] == "purchase"]
+        clicks = df[df["event_type"] == "click"]
+        if buys.empty:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "purchase_id": pa.array([], pa.int64()),
+                    "click_id": pa.array([], pa.int64()),
+                }
+            )
+        if clicks.empty:
+            joined = buys.assign(click_id=np.nan)
+        else:
+            joined = pd.merge_asof(
+                buys[["ts", "event_id", "user_id"]],
+                clicks[["ts", "event_id"]].rename(columns={"event_id": "click_id"}),
+                on="ts",
+                direction="backward",
+                allow_exact_matches=False,
+            )
+        out = pd.DataFrame(
+            {
+                "user_id": joined["user_id"].astype("int64"),
+                "purchase_id": joined["event_id"].astype("int64"),
+                "click_id": joined["click_id"].astype("float64"),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["click_id"] = out["click_id"].fillna(-1).astype("int64")
+    return out.sort_values(["user_id", "purchase_id"]).reset_index(drop=True)
+
+
+ASOF_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       CAST(COALESCE((
+         SELECT c.event_id FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+       ), -1) AS BIGINT) AS click_id
+FROM events p WHERE p.event_type = 'purchase'
+ORDER BY p.user_id, p.event_id
+"""
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers that never ordered. The order-key set is
+    broadcast (``ray.put``) and the filter runs inside map_batches —
+    at web scale this set becomes a Bloom filter, same shape."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    custkeys = set(
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
+            "o_custkey"
+        ].to_pylist()
+    )
+    ref = ray.put(custkeys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k not in keys for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    out = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if "c_custkey" not in out.columns:  # all-filtered → column-less frame
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def orders_from_europe(sf_dir: str) -> pd.DataFrame:
+    """Semi join via broadcast key set: order count + revenue for
+    customers in EUROPE."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    eu_regionkey = region.loc[region["r_name"] == "EUROPE", "r_regionkey"].iloc[0]
+    eu_nations = set(nation.loc[nation["n_regionkey"] == eu_regionkey, "n_nationkey"])
+    eu_custkeys = set(cust.loc[cust["c_nationkey"].isin(eu_nations), "c_custkey"])
+    ref = ray.put(eu_custkeys)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k in keys for k in batch["o_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    filtered = ds.map_batches(semi, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({"n": [len(df)], "total": [float(df["o_totalprice"].sum())]})
+
+    from ray.data.aggregate import Sum
+
+    res = filtered.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("total", alias_name="total")
+    )
+    n = int(res["n"] or 0)
+    return pd.DataFrame(
+        {"n": pd.Series([n], dtype="int64"), "total": [round(float(res["total"] or 0.0), 2)]}
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total
+FROM orders WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+"""
