@@ -37,7 +37,7 @@ def _num_cpus() -> int:
 
 
 def _repl() -> int:
-    return int(os.environ.get("GRAFT_BENCH_REPL", "10"))
+    return int(os.environ.get("GRAFT_BENCH_REPL", "40"))
 
 
 _BASE_DOC_CACHE: dict[str, object] = {}
