@@ -64,24 +64,48 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
-def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashes of the k-word shingles (word-level shingling)."""
-    toks = (text or "").split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(
-        np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
-                for s in shingles
-            ],
-            dtype=np.uint64,
-        )
+def _hash64_tokens(toks: list[str]) -> np.ndarray:
+    """Stable 64-bit hash per token (vectorized rolling combine of
+    per-token hashes is built on these)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for t in toks
+        ],
+        dtype=np.uint64,
     )
+
+
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def shingle_hashes(text: str, k: int = 5, _tok_cache: dict | None = None) -> np.ndarray:
+    """Hashes of the k-word shingles (word-level shingling).
+
+    Vectorized: hash each token once (cached across docs via
+    ``_tok_cache``), then combine windows of k token-hashes with a
+    rolling xor-rotate — O(tokens) numpy work instead of hashing every
+    shingle string."""
+    toks = (text or "").split()
+    if not toks:
+        return np.array([], dtype=np.uint64)
+    if _tok_cache is None:
+        th = _hash64_tokens(toks)
+    else:
+        miss = [t for t in toks if t not in _tok_cache]
+        if miss:
+            hs = _hash64_tokens(miss)
+            _tok_cache.update(zip(miss, hs))
+        th = np.fromiter((_tok_cache[t] for t in toks), dtype=np.uint64, count=len(toks))
+    if len(th) < k:
+        k = len(th)
+    # combine k consecutive token hashes, position-salted so order matters
+    acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        h = th[j : len(th) - k + 1 + j]
+        rot = np.uint64((j * 7 + 1) % 63 + 1)  # keep shifts in (0, 64)
+        acc ^= ((h << rot) | (h >> (np.uint64(64) - rot))) * _SHINGLE_MIX
+    return np.unique(acc)
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -111,9 +135,12 @@ class MinHasher:
         """Explode each doc into ``bands`` rows (band_id, band_hash, doc_id)."""
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
+        tok_cache: dict = {}  # shared token-hash cache within the batch
         out_band, out_hash, out_id = [], [], []
         for i, t in zip(ids, texts):
-            sig = minhash_signature(shingle_hashes(t, self.k), self.a, self.b)
+            sig = minhash_signature(
+                shingle_hashes(t, self.k, _tok_cache=tok_cache), self.a, self.b
+            )
             for bnd in range(self.bands):
                 seg = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
                 h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()

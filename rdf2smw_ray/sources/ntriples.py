@@ -84,6 +84,7 @@ def parse_ntriples_lines(
     ext = ext[ok]
     seqs = seqs[ok.to_numpy()]
 
+    ext = ext.astype(object)  # keep object dtype through fillna chains
     subj = ext["subj_iri"].fillna(ext["subj_blank"]).fillna("")
     pred = ext["pred"].fillna("")
     is_iri = ext["obj_iri"].notna()
