@@ -1,0 +1,78 @@
+"""Turtle-subset reader tests."""
+
+import pytest
+
+import ray.data as rd
+
+from rdf2smw_ray.sources.turtle import parse_turtle, read_turtle
+
+TTL = """
+@prefix ex: <http://example.org/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+
+ex:s1 rdfs:label "S One" ;
+      a ex:Widget ;
+      ex:knows ex:s2 , ex:s3 .
+
+ex:s2 ex:age 42 ;
+      ex:height 1.85 ;
+      ex:active true ;
+      ex:note "hallo"@de ;
+      ex:count "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+
+# a comment line
+<http://example.org/s3> <http://example.org/related> _:b0 .
+"""
+
+
+def test_parse_turtle_subset():
+    t = parse_turtle(TTL)
+    rows = t.to_pylist()
+    spo = {(r["subj"], r["pred"], r["obj"]) for r in rows}
+    assert ("http://example.org/s1", "http://www.w3.org/2000/01/rdf-schema#label", "S One") in spo
+    assert (
+        "http://example.org/s1",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://example.org/Widget",
+    ) in spo
+    # object list expands to two triples
+    knows = [r for r in rows if r["pred"].endswith("knows")]
+    assert {r["obj"] for r in knows} == {"http://example.org/s2", "http://example.org/s3"}
+    # typed literals
+    byp = {r["pred"].rsplit("/", 1)[-1]: r for r in rows if r["subj"].endswith("s2")}
+    assert byp["age"]["obj_datatype"].endswith("#integer")
+    assert byp["height"]["obj_datatype"].endswith("#decimal")
+    assert byp["active"]["obj_datatype"].endswith("#boolean")
+    assert byp["note"]["obj_lang"] == "de" and byp["note"]["obj_datatype"].endswith("langString")
+    assert byp["count"]["obj"] == "7" and byp["count"]["obj_datatype"].endswith("#integer")
+    # blank node object
+    assert any(r["obj_kind"] == "blank" for r in rows)
+    # seq strictly increasing in statement order
+    seqs = [r["seq"] for r in rows]
+    assert seqs == sorted(seqs)
+
+
+def test_parse_turtle_undefined_prefix():
+    with pytest.raises(ValueError, match="undefined prefix"):
+        parse_turtle("foo:x foo:y foo:z .")
+
+
+def test_read_turtle_dataset(tmp_path):
+    p = tmp_path / "a.ttl"
+    p.write_text(TTL)
+    bad = tmp_path / "b.ttl"
+    bad.write_text("this is ( not parseable [ turtle")
+    ds = read_turtle([str(p), str(bad)])
+    df = ds.to_pandas()
+    assert len(df) == 10  # bad file dead-lettered, good file parsed
+    assert set(df["src"]) == {str(p)}
+
+
+def test_turtle_through_pipeline(tmp_path):
+    from rdf2smw_ray.pipelines.rdf2smw import rdf2smw_pipeline
+
+    p = tmp_path / "a.ttl"
+    p.write_text(TTL)
+    res = rdf2smw_pipeline(read_turtle(str(p)), resolver_concurrency=2)
+    titles = set(res["content"].to_pandas()["title"])
+    assert "S One" in titles
