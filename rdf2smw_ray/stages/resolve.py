@@ -50,7 +50,11 @@ def _resolve_titles(uris: np.ndarray, title_dict: dict) -> dict[str, str]:
 
 
 def resolve_batch(batch: pa.Table, lookup: dict[str, dict]) -> pa.Table:
-    """Resolve one Arrow batch of triples → RESOLVED_SCHEMA rows."""
+    """Resolve one Arrow batch of triples → RESOLVED_SCHEMA rows.
+
+    Factorized: every per-row lookup runs once per UNIQUE uri in the
+    batch (subjects/predicates repeat heavily), then broadcast back by
+    integer take."""
     df = batch.to_pandas()
     n = len(df)
     if n == 0:
@@ -63,29 +67,42 @@ def resolve_batch(batch: pa.Table, lookup: dict[str, dict]) -> pa.Table:
     is_iri = kind == OBJ_IRI
     is_lit = kind == OBJ_LITERAL
 
-    uniq = np.unique(
-        np.concatenate(
-            [df["subj"].to_numpy(), df["pred"].to_numpy(), df["obj"].to_numpy()[is_iri]]
-        )
-    )
+    subj_codes, subj_uniq = pd.factorize(df["subj"])
+    pred_codes, pred_uniq = pd.factorize(df["pred"])
+    obj_iri_series = df["obj"].where(is_iri, "")
+    obj_codes, obj_uniq = pd.factorize(obj_iri_series)
+
+    uniq = np.unique(np.concatenate([subj_uniq, pred_uniq, obj_uniq[obj_uniq != ""]]))
     tmap = _resolve_titles(uniq, title_dict)
 
-    subj_title = df["subj"].map(tmap)
-    subj_type = df["subj"].map(type_dict).fillna(URITYPE_UNDEFINED).astype("int32")
-    prop = df["pred"].map(tmap)
+    subj_title_u = np.array([tmap[u] for u in subj_uniq], dtype=object)
+    subj_type_u = np.array(
+        [type_dict.get(u, URITYPE_UNDEFINED) for u in subj_uniq], dtype=np.int32
+    )
+    prop_u = np.array([tmap[u] for u in pred_uniq], dtype=object)
+    is_cat_u = np.array([p in CATEGORY_PREDICATES for p in pred_uniq])
+    obj_title_u = np.array(
+        [tmap.get(u, "") for u in obj_uniq], dtype=object
+    )
+    obj_depth_u = np.array([depth_dict.get(u, 0) for u in obj_uniq], dtype=np.int32)
+
+    subj_title = subj_title_u[subj_codes]
+    subj_type = subj_type_u[subj_codes]
+    prop = pd.Series(prop_u[pred_codes], dtype=object)
     pred_title = "Property:" + prop
-    is_cat = df["pred"].isin(CATEGORY_PREDICATES)
+    is_cat = is_cat_u[pred_codes]
 
     # object value: IRI → resolved factTitle; literal → lexical value
     # with the namespace-suffix regexes applied
     # (triplestowikipageconv.go:104-117); blank → "" (falls through
     # both branches in the reference)
     lit_vals = strip_namespace_suffixes_series(df["obj"].astype(str))
-    value = pd.Series(np.where(is_iri, df["obj"].map(tmap), np.where(is_lit, lit_vals, "")), dtype=object)
+    value = pd.Series(
+        np.where(is_iri, obj_title_u[obj_codes], np.where(is_lit, lit_vals, "")),
+        dtype=object,
+    )
 
-    depth = pd.Series(
-        np.where(is_cat.to_numpy(), df["obj"].map(depth_dict).fillna(0), 0),
-    ).astype("int32")
+    depth = pd.Series(np.where(is_cat, obj_depth_u[obj_codes], 0)).astype("int32")
 
     has_type = pd.Series(
         np.where(
