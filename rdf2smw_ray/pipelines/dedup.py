@@ -193,12 +193,64 @@ def minhash_candidates(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
     return edges.groupby("doc_id").min("dup_of")
 
 
-def minhash_dedup(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
+def minhash_dedup(
+    docs,
+    *,
+    num_perm=64,
+    bands=16,
+    k=5,
+    concurrency=4,
+    verify_threshold: float | None = None,
+):
     """Near-dup assignment: (doc_id, dup_of) rows for docs assigned to
-    an earlier near-duplicate; docs absent from the result are kept."""
-    return minhash_candidates(
+    an earlier near-duplicate; docs absent from the result are kept.
+
+    ``verify_threshold``: when set, candidate edges are verified with
+    exact shingle Jaccard (ray_guide: "candidate pairs → verify
+    Jaccard"): the candidate texts (a small fraction of the corpus)
+    are fetched via a broadcast id-set filter and pairs below the
+    threshold are dropped.
+    """
+    edges = minhash_candidates(
         docs, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency
     )
+    if verify_threshold is None:
+        return edges
+    edges_df = edges.to_pandas()
+    if "doc_id" not in edges_df.columns or edges_df.empty:
+        return edges
+    dup_col = next(c for c in edges_df.columns if "dup_of" in c)
+    cand_ids = set(edges_df["doc_id"]) | set(edges_df[dup_col])
+
+    import ray
+
+    ref = ray.put(cand_ids)
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        mask = pa.array([i in ids for i in batch["doc_id"].to_pylist()])
+        return batch.filter(mask)
+
+    texts_df = (
+        docs.map_batches(only_candidates, batch_format="pyarrow")
+        .select_columns(["doc_id", "text"])
+        .to_pandas()
+    )
+    text_by_id = dict(zip(texts_df["doc_id"], texts_df["text"]))
+    keep = [
+        jaccard(text_by_id.get(a, ""), text_by_id.get(b, ""), k) >= verify_threshold
+        for a, b in zip(edges_df["doc_id"], edges_df[dup_col])
+    ]
+    out = edges_df[pd.Series(keep, index=edges_df.index)]
+    import ray.data as rd
+
+    if out.empty:
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), dup_col: pa.array([], pa.int64())}
+            )
+        )
+    return rd.from_pandas(out.reset_index(drop=True))
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:

@@ -67,12 +67,14 @@ def escape_literal(s: str) -> str:
 
 
 def parse_ntriples_lines(
-    lines: pd.Series, seq_base: int = 0, src: str = ""
+    lines: pd.Series, seq_base: int = 0, src: str = "", dead_letters: list | None = None
 ) -> pa.Table:
     """Parse a Series of N-Triples lines into a TRIPLES_SCHEMA table.
 
     Blank and comment lines are skipped; malformed statements are
-    dropped (dead-letter) rather than raising.
+    dropped (dead-letter) rather than raising (the reference
+    ``log.Fatal``s — ttlfilereader.go:56-61). Pass ``dead_letters`` (a
+    list) to collect the rejected ``(line_no, line)`` pairs.
     """
     lines = lines[lines.str.strip().str.len() > 0]
     lines = lines[~lines.str.lstrip().str.startswith("#")]
@@ -81,6 +83,9 @@ def parse_ntriples_lines(
     seqs = seq_base + lines.index.to_numpy(dtype=np.int64)
     ext = lines.str.extract(_LINE_RE)
     ok = ext["pred"].notna()
+    if dead_letters is not None and (~ok).any():
+        for line_no, line in lines[~ok].items():
+            dead_letters.append((int(line_no), line))
     ext = ext[ok]
     seqs = seqs[ok.to_numpy()]
 
@@ -171,6 +176,93 @@ def read_ntriples(paths: str | list[str]):
 
     ds = rd.read_binary_files(paths, include_paths=True)
     return ds.map_batches(parse_file, batch_format="pyarrow", batch_size=None)
+
+
+def read_ntriples_audited(paths: str | list[str]):
+    """Like :func:`read_ntriples` but keeps dead-letter rows in-band:
+    the returned Dataset has an extra ``error_line`` column — "" for
+    parsed statements, the raw rejected line otherwise (with
+    ``subj == ""``). Split with :func:`split_dead_letters`. This is
+    the poison-row audit trail the reference lacks (it log.Fatals)."""
+    import os
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = (
+            sorted(
+                os.path.join(paths, f) for f in os.listdir(paths) if f.endswith(".nt")
+            )
+            if os.path.isdir(paths)
+            else [paths]
+        )
+    file_idx = {p: i for i, p in enumerate(sorted(paths))}
+
+    def parse_file(batch: pa.Table) -> pa.Table:
+        tables = []
+        for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            base = file_idx.get(path, 0)
+            if path not in file_idx:
+                for p, i in file_idx.items():
+                    if path.endswith(p) or p.endswith(path):
+                        base = i
+                        break
+            dead: list = []
+            good = parse_ntriples_lines(
+                pd.Series(data.decode("utf-8").split("\n")),
+                seq_base=base * _FILE_SEQ_STRIDE,
+                src=path,
+                dead_letters=dead,
+            )
+            good = good.append_column(
+                "error_line", pa.array([""] * good.num_rows, pa.string())
+            )
+            if dead:
+                err = TRIPLES_SCHEMA.empty_table().to_pydict()
+                for line_no, line in dead:
+                    for k in err:
+                        err[k].append(
+                            {
+                                "subj": "",
+                                "pred": "",
+                                "obj": "",
+                                "obj_is_iri": False,
+                                "obj_kind": "error",
+                                "obj_datatype": "",
+                                "obj_lang": "",
+                                "seq": base * _FILE_SEQ_STRIDE + line_no,
+                                "src": path,
+                            }[k]
+                        )
+                errs = pa.Table.from_pydict(err, schema=TRIPLES_SCHEMA).append_column(
+                    "error_line", pa.array([d[1] for d in dead], pa.string())
+                )
+                good = pa.concat_tables([good, errs])
+            tables.append(good)
+        if not tables:
+            t = TRIPLES_SCHEMA.empty_table()
+            return t.append_column("error_line", pa.array([], pa.string()))
+        return pa.concat_tables(tables)
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(parse_file, batch_format="pyarrow", batch_size=None)
+
+
+def split_dead_letters(audited_ds):
+    """audited Dataset → (clean triples Dataset, dead-letter Dataset)."""
+    import pyarrow.compute as pc
+
+    clean = audited_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["error_line"], "")).drop_columns(["error_line"]),
+        batch_format="pyarrow",
+    )
+    errors = audited_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["error_line"], "")).select(
+            ["src", "seq", "error_line"]
+        ),
+        batch_format="pyarrow",
+    )
+    return clean, errors
 
 
 def read_ntriples_lines(paths: str | list[str]):
