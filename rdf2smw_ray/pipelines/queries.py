@@ -325,10 +325,13 @@ def q_ann_topk(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# CAST to DOUBLE before ROUND: DuckDB computes list_cosine_similarity
+# in float32, and ROUND of a float32 returns a float32 whose widened
+# double differs from the exact 4-decimal double our engine emits.
 ANN_TOPK_SQL = """
 SELECT vec_id,
-       ROUND(list_cosine_similarity(embedding,
-             (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score
+       ROUND(CAST(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS score
 FROM embeddings
 ORDER BY list_cosine_similarity(embedding,
          (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
