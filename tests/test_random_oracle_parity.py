@@ -1,0 +1,132 @@
+"""Randomized oracle parity: a seeded corpus mixing every feature —
+title properties at all priorities, owl typing, subClassOf DAGs,
+all literal datatypes, IRIs to indexed/unindexed subjects, blanks,
+duplicates, weird characters — run through the full pipeline and
+compared to the independent oracle as exact fact-set equality.
+
+(Cyclic class graphs are excluded: the reference would recurse
+forever; our engine caps depth — divergence documented in
+stages/sidecar.py::MAX_DEPTH.)
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rdf2smw_ray.oracle import pyoracle
+from rdf2smw_ray.pipelines.rdf2smw import rdf2smw_pipeline
+from rdf2smw_ray.schemas import OBJ_BLANK, OBJ_IRI, OBJ_LITERAL, TRIPLES_SCHEMA
+
+EX = "http://r.example.org/"
+TITLE_PROPS = [
+    "http://semantic-mediawiki.org/swivt/1.0#page",
+    "http://www.w3.org/2000/01/rdf-schema#label",
+    "http://purl.org/dc/elements/1.1/title",
+    "http://purl.org/dc/terms/title",
+    "http://www.w3.org/2004/02/skos/core#preferredLabel",
+    "http://xmlns.com/foaf/0.1/name",
+]
+TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+OWL = "http://www.w3.org/2002/07/owl#"
+DTYPES = [
+    "http://www.w3.org/2001/XMLSchema#string",
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+    "http://www.w3.org/2001/XMLSchema#integer",
+    "http://www.w3.org/2001/XMLSchema#float",
+    "http://www.w3.org/2001/XMLSchema#date",  # unknown to Has type mapping
+]
+WEIRD = ['we"ird', "sp ace", "br[ack]ets", "pi|pe", "co,mma", "d.ot", "eq=s", "qu?est"]
+
+
+def _gen(seed: int, n: int) -> list[tuple]:
+    rng = np.random.RandomState(seed)
+    ents = [EX + f"e{i}" for i in range(40)]
+    classes = [EX + f"C{i}" for i in range(12)]
+    preds = [EX + f"p{i}" for i in range(10)]
+    rows = []
+    # acyclic class DAG: C_i → C_j only when j > i
+    for i in range(11):
+        for j in range(i + 1, 12):
+            if rng.rand() < 0.25:
+                rows.append((classes[i], SUBCLASS, classes[j], OBJ_IRI, "", ""))
+    for c in classes:
+        if rng.rand() < 0.7:
+            rows.append((c, TYPE, OWL + "Class", OBJ_IRI, "", ""))
+    for p in preds[:5]:
+        kind = rng.choice(["ObjectProperty", "DatatypeProperty", "AnnotationProperty"])
+        rows.append((p, TYPE, OWL + kind, OBJ_IRI, "", ""))
+    while len(rows) < n:
+        s = ents[rng.randint(len(ents))]
+        r = rng.rand()
+        if r < 0.15:
+            rows.append(
+                (s, TITLE_PROPS[rng.randint(len(TITLE_PROPS))],
+                 f"Title {rng.randint(25)} {WEIRD[rng.randint(len(WEIRD))]}",
+                 OBJ_LITERAL, DTYPES[0], "")
+            )
+        elif r < 0.3:
+            tgt = classes[rng.randint(len(classes))] if rng.rand() < 0.8 else ents[rng.randint(len(ents))]
+            rows.append((s, TYPE if rng.rand() < 0.7 else SUBCLASS, tgt, OBJ_IRI, "", ""))
+        elif r < 0.55:
+            dt = DTYPES[rng.randint(len(DTYPES))]
+            lang = "de" if dt.endswith("langString") else ""
+            rows.append(
+                (s, preds[rng.randint(len(preds))], f"v{rng.randint(30)} (x:{rng.randint(5)})",
+                 OBJ_LITERAL, dt, lang)
+            )
+        elif r < 0.85:
+            tgt = (ents + [EX + "unindexed/u1", EX + "un#in[d]exed"])[rng.randint(len(ents) + 2)]
+            rows.append((s, preds[rng.randint(len(preds))], tgt, OBJ_IRI, "", ""))
+        else:
+            rows.append((s, preds[rng.randint(len(preds))], f"_:b{rng.randint(4)}", OBJ_BLANK, "", ""))
+    return rows
+
+
+def _table(rows) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_is_iri": [r[3] == OBJ_IRI for r in rows],
+            "obj_kind": [r[3] for r in rows],
+            "obj_datatype": [r[4] for r in rows],
+            "obj_lang": [r[5] for r in rows],
+            "seq": list(range(len(rows))),
+            "src": [""] * len(rows),
+        },
+        schema=TRIPLES_SCHEMA,
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_random_corpus_matches_oracle(seed):
+    rows = _gen(seed, 1500)
+    t = _table(rows)
+    res = rdf2smw_pipeline(rd.from_arrow(t).repartition(5), resolver_concurrency=2)
+    oracle = pyoracle.convert(t.to_pylist())
+    want = pyoracle.fact_triple_set(oracle)
+    got = set()
+    for stream in ("content", "properties"):
+        for _, r in res[stream].to_pandas().iterrows():
+            for f in r["facts"]:
+                got.add((r["title"], f["property"], f["value"]))
+            for c in r["categories"]:
+                got.add((r["title"], "Category", c))
+    missing = want - got
+    extra = got - want
+    assert not missing and not extra, (
+        f"seed {seed}: missing {sorted(missing)[:5]} extra {sorted(extra)[:5]}"
+    )
+    # content-page fact ORDER parity too (deterministic in both);
+    # keyed by SUBJECT — distinct subjects may clean to the same title
+    # and both engines then emit separate same-titled pages
+    engine_pages = {
+        r["subj"]: [(f["property"], f["value"]) for f in r["facts"]]
+        for _, r in res["content"].to_pandas().iterrows()
+    }
+    for p in oracle["content_pages"]:
+        assert engine_pages[p["subj"]] == p["facts"], (seed, p["subj"])
