@@ -358,6 +358,19 @@ def q_embedding_near_dup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate distinct users over events (rows-only check —
+    approximate by design; accuracy is pytest-asserted vs exact)."""
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import approx_distinct
+
+    est = approx_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id"
+    )
+    return pd.DataFrame({"approx_users": pd.Series([round(est)], dtype="int64")})
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing over synthetic media derived from the
     embeddings ids: synth → decode → resize/frame-sample → features."""
@@ -407,6 +420,8 @@ def all_queries():
         "orders_from_europe": windows.orders_from_europe,
         # multimodal
         "media_features": q_media_features,
+        # sketches
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 
