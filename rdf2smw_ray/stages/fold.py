@@ -52,28 +52,48 @@ _PACKED_SCHEMA = pa.schema(
 
 
 def _pack_batch(batch: pa.Table) -> pa.Table:
-    """Vectorized partial fold: ≤1 packed row per subject per batch."""
+    """Vectorized partial fold: ≤1 packed row per subject per batch.
+
+    Entirely offset-based: rows are deduped and sorted by
+    (subj, seq), group boundaries become Arrow ListArray offsets — no
+    per-group Python work at all."""
     df = batch.to_pandas()
     if df.empty:
         return _PACKED_SCHEMA.empty_table()
     df = df.sort_values("seq", kind="mergesort")
     facts = df[~df["is_cat"]].drop_duplicates(["subj", "property", "value"])
     cats = df[df["is_cat"]].drop_duplicates(["subj", "value", "depth"])
-    part = pd.concat([facts, cats]).sort_values("seq", kind="mergesort")
-    g = part.groupby("subj", sort=False)
-    packed = pd.DataFrame(
-        {
-            "subj_title": g["subj_title"].first(),
-            "subj_type": g["subj_type"].first(),
-            "min_seq": g["seq"].min(),
-            "props": g["property"].agg(list),
-            "vals": g["value"].agg(list),
-            "iscat": g["is_cat"].agg(list),
-            "depths": g["depth"].agg(list),
-            "seqs": g["seq"].agg(list),
-        }
-    ).reset_index()
-    return pa.Table.from_pandas(packed, preserve_index=False).cast(_PACKED_SCHEMA)
+    part = pd.concat([facts, cats])
+
+    subj_codes, subj_uniq = pd.factorize(part["subj"], sort=False)
+    order = np.lexsort((part["seq"].to_numpy(), subj_codes))
+    part = part.iloc[order]
+    codes = subj_codes[order]
+
+    boundaries = np.flatnonzero(np.diff(codes) != 0) + 1
+    starts = np.concatenate(([0], boundaries))
+    offsets = pa.array(
+        np.concatenate((starts, [len(part)])).astype(np.int32)
+    )
+
+    def lst(values: pa.Array) -> pa.Array:
+        return pa.ListArray.from_arrays(offsets, values)
+
+    first = part.iloc[starts]
+    return pa.Table.from_arrays(
+        [
+            pa.array(first["subj"], pa.string()),
+            pa.array(first["subj_title"], pa.string()),
+            pa.array(first["subj_type"], pa.int32()),
+            pa.array(first["seq"], pa.int64()),  # min seq: first row per group
+            lst(pa.array(part["property"], pa.string())),
+            lst(pa.array(part["value"], pa.string())),
+            lst(pa.array(part["is_cat"], pa.bool_())),
+            lst(pa.array(part["depth"], pa.int32())),
+            lst(pa.array(part["seq"], pa.int64())),
+        ],
+        schema=_PACKED_SCHEMA,
+    )
 
 
 def _finalize(
