@@ -73,8 +73,21 @@ def run_kg_checkpointed(
 
     def _write(ds):
         def fn(tmp_dir: str) -> dict:
-            ds.write_parquet(tmp_dir)
-            return {}
+            n = ds.count()
+            if n == 0:
+                # write an explicit empty file so read_parquet of the
+                # stage dir works on resume / in the CLI
+                import pyarrow.parquet as pq
+
+                from rdf2smw_ray.schemas import RENDERED_SCHEMA
+
+                pq.write_table(
+                    RENDERED_SCHEMA.empty_table(),
+                    os.path.join(tmp_dir, "empty.parquet"),
+                )
+            else:
+                ds.write_parquet(tmp_dir)
+            return {"rows": n}
 
         return fn
 

@@ -400,6 +400,8 @@ def all_queries():
         "distinct_event_types": relational.distinct_event_types,
         "events_hourly": relational.events_hourly,
         "revenue_per_orderpriority": relational.revenue_per_orderpriority,
+        "top_orders_per_nation": relational.top_orders_per_nation,
+        "median_value_per_event_type": relational.median_value_per_event_type,
         # text analysis
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -479,6 +481,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         # embedding_near_dup: heuristic / hash-seeded → rows-only
         "exact_dedup": EXACT_DEDUP_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
+        "median_value_per_event_type": relational.MEDIAN_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,

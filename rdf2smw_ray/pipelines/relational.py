@@ -229,6 +229,84 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k: the k highest-value orders per nation
+    (groupby(key).map_groups local sort+head — no global sort)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    lookup = dict(
+        zip(
+            cust["c_custkey"],
+            cust["c_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))),
+        )
+    )
+    ref = ray.put(lookup)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_name"] = df["o_custkey"].map(ray.get(ref))
+        return pa.Table.from_pandas(
+            df[["n_name", "o_orderkey", "o_totalprice"]], preserve_index=False
+        )
+
+    def topk(df: pd.DataFrame) -> pa.Table:
+        out = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("n_name")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.sort_values(["n_name", "o_orderkey"]).reset_index(drop=True)
+
+
+TOPK_PER_NATION_SQL = """
+SELECT n_name, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM (
+  SELECT n_name, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+) WHERE rn <= 3 ORDER BY n_name, o_orderkey
+"""
+
+
+def median_value_per_event_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median via groupby(key).map_groups (per-key
+    sort; keys are few, groups fit memory — the exact-quantile shape;
+    approximate sketches are the scale path for high-cardinality keys)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def med(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": [df["event_type"].iat[0]],
+                "median_value": [round(float(df["value"].median()), 2)],
+            }
+        )
+
+    out = ds.groupby("event_type").map_groups(med, batch_format="pandas").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+MEDIAN_SQL = """
+SELECT event_type, ROUND(CAST(MEDIAN(value) AS DOUBLE), 2) AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Large-side hash join demo (both sides big): lineitem ⋈ orders on orderkey
 # ---------------------------------------------------------------------------

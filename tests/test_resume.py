@@ -84,6 +84,33 @@ def test_second_run_skips_everything(tmp_path):
     assert res2["shards"] == {"processed": 0, "skipped": 2}
 
 
+def test_incremental_new_shard(tmp_path):
+    """Adding a new input shard to a completed run reprocesses ONLY the
+    new shard (front half) and refreshes the global back half."""
+    shards = _make_shards(tmp_path, n_shards=3, docs_per_shard=8)
+    out = str(tmp_path / "out")
+    run_kg_checkpointed(shards[:2], out, concurrency=2)
+    n_before = len(_pages_frame(os.path.join(out, "stages", "pages")))
+    # wipe stage manifests so the back half re-runs over the new shard set
+    for f in os.listdir(os.path.join(out, "stages")):
+        if f.endswith(".manifest.json"):
+            os.remove(os.path.join(out, "stages", f))
+    res = run_kg_checkpointed(shards, out, concurrency=2)
+    assert res["shards"] == {"processed": 1, "skipped": 2}
+    n_after = len(_pages_frame(os.path.join(out, "stages", "pages")))
+    assert n_after >= n_before
+
+
+def test_no_templates_checkpointed(tmp_path):
+    """use_templates=False writes an empty-but-readable templates stage."""
+    import ray.data as rd
+
+    shards = _make_shards(tmp_path, n_shards=1, docs_per_shard=5)
+    out = str(tmp_path / "out")
+    res = run_kg_checkpointed(shards, out, concurrency=2, use_templates=False)
+    assert rd.read_parquet(res["templates_dir"]).count() == 0
+
+
 def test_xml_dump_framing(tmp_path):
     shards = _make_shards(tmp_path, n_shards=1, docs_per_shard=5)
     out = str(tmp_path / "out")
