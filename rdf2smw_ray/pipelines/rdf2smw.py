@@ -45,6 +45,7 @@ def rdf2smw_pipeline(
     salt: int = 1,
     resolver_concurrency: int | tuple[int, int] = 4,
     materialize: bool = True,
+    canonicalize: bool = False,
 ):
     """Run the full back half. Returns a dict of Datasets:
 
@@ -56,6 +57,13 @@ def rdf2smw_pipeline(
     plus the driver-resident ``sidecar`` Arrow table.
     """
     import ray.data as rd
+
+    if canonicalize:
+        # EXTENSION (off by default — the reference treats owl:sameAs
+        # as an ordinary predicate): merge co-referent URIs first.
+        from rdf2smw_ray.stages.sameas import canonicalize_sameas
+
+        triples, _ = canonicalize_sameas(triples)
 
     sidecar = build_sidecar(triples)
     resolved = resolve_triples(triples, sidecar, concurrency=resolver_concurrency)

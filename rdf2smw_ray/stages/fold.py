@@ -13,10 +13,13 @@ triplestowikipageconv.go:85-151) as a **combiner + keyed merge**:
    reduce-side group size is bounded by the block count, not the fact
    count (the explicit skew handling required by the north rule —
    batch-granular, strictly finer than key salting).
-2. ``groupby(subj)`` merge: concatenates a subject's few partials,
-   restores global order by ``seq`` (every kept entry carries the
-   minimum seq of its dedup key, so "first occurrence globally" is
-   exact), finalizes the page.
+2. bucketed merge: the shuffle key is ``hash(subj) % merge_buckets``,
+   and each bucket merges ALL of its subjects in one vectorized call
+   (``_merge_bucket``) — the reduce side costs ``merge_buckets``
+   Python invocations total, not one per subject (at web scale,
+   subjects number in the millions). Every kept entry carries the
+   minimum ``seq`` of its dedup key, so "first occurrence globally"
+   is exact after the merge's re-sort.
 
 Page semantics (bit-for-bit vs the reference, see tests):
 - facts: order-preserving first-wins dedup (iptypes.go:53-64);
@@ -33,7 +36,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rdf2smw_ray.functions.wikititle import page_title
 from rdf2smw_ray.schemas import PAGES_SCHEMA
 
 _PACKED_SCHEMA = pa.schema(
@@ -96,87 +98,132 @@ def _pack_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _finalize(
-    subj: str, subj_title: str, subj_type: int, props, vals, iscat, depths, seqs
-) -> dict:
-    """Merge partial entry lists (already per-key deduped within each
-    partial) into the final page. Inputs are flat python/numpy arrays;
-    order restored by stable argsort on seq."""
-    order = np.argsort(np.asarray(seqs, dtype=np.int64), kind="stable")
-    facts: list[tuple[str, str]] = []
-    seen_facts: set[tuple[str, str]] = set()
-    cats: list[str] = []
-    seen_cats: set[str] = set()
-    specific = ""
-    top = 0
-    for i in order:
-        v = vals[i]
-        if iscat[i]:
-            d = depths[i]
-            if d > top:
-                top = d
-                specific = v
-            if v not in seen_cats:
-                seen_cats.add(v)
-                cats.append(v)
-        else:
-            k = (props[i], v)
-            if k not in seen_facts:
-                seen_facts.add(k)
-                facts.append(k)
-    k = ("Equivalent URI", subj)
-    if k not in seen_facts:
-        facts.append(k)
-    return {
-        "title": page_title(subj_title, subj_type),
-        "page_type": subj_type,
-        "facts": [{"property": p, "value": v} for p, v in facts],
-        "categories": cats,
-        "specific_category": specific,
-        "subj": subj,
-    }
 
 
-def _merge_group(df: pd.DataFrame) -> pa.Table:
-    """One subject's partials → one page row."""
-    if len(df) > 1:
-        df = df.sort_values("min_seq", kind="mergesort")
-        props = [p for row in df["props"] for p in row]
-        vals = [v for row in df["vals"] for v in row]
-        iscat = [c for row in df["iscat"] for c in row]
-        depths = [d for row in df["depths"] for d in row]
-        seqs = [s for row in df["seqs"] for s in row]
-    else:
-        r = df.iloc[0]
-        props, vals, iscat, depths, seqs = (
-            list(r["props"]),
-            list(r["vals"]),
-            list(r["iscat"]),
-            list(r["depths"]),
-            list(r["seqs"]),
+def _merge_bucket(df: pd.DataFrame) -> pa.Table:
+    """Merge ALL subjects of one hash bucket vectorized (one call per
+    bucket instead of one per subject — at web scale one-call-per-
+    subject means millions of Python invocations)."""
+    from rdf2smw_ray.functions.wikititle import page_title_series
+
+    df = df.sort_values(["subj", "min_seq"], kind="mergesort")
+    meta = df.drop_duplicates("subj")  # first partial per subject
+    subj_order = meta["subj"].to_numpy()
+    code_of = {s: i for i, s in enumerate(subj_order)}
+    m = len(subj_order)
+
+    reps = df["props"].map(len).to_numpy()
+    flat = pd.DataFrame(
+        {
+            "subj": np.repeat(df["subj"].to_numpy(), reps),
+            "prop": np.concatenate(df["props"].to_numpy()) if reps.sum() else np.array([], dtype=object),
+            "value": np.concatenate(df["vals"].to_numpy()) if reps.sum() else np.array([], dtype=object),
+            "is_cat": np.concatenate(df["iscat"].to_numpy()) if reps.sum() else np.array([], dtype=bool),
+            "depth": np.concatenate(df["depths"].to_numpy()) if reps.sum() else np.array([], dtype=np.int32),
+            "seq": np.concatenate(df["seqs"].to_numpy()) if reps.sum() else np.array([], dtype=np.int64),
+        }
+    ).sort_values("seq", kind="mergesort")
+
+    facts = flat[~flat["is_cat"]].drop_duplicates(["subj", "prop", "value"])
+    cat_cand = flat[flat["is_cat"]].drop_duplicates(["subj", "value", "depth"])
+
+    # Equivalent URI (first-wins against existing facts)
+    have_eq = set(
+        facts.loc[
+            (facts["prop"] == "Equivalent URI") & (facts["value"] == facts["subj"]),
+            "subj",
+        ]
+    )
+    need = [s for s in subj_order if s not in have_eq]
+    if need:
+        facts = pd.concat(
+            [
+                facts,
+                pd.DataFrame(
+                    {
+                        "subj": need,
+                        "prop": "Equivalent URI",
+                        "value": need,
+                        "is_cat": False,
+                        "depth": 0,
+                        "seq": np.int64(1 << 62),
+                    }
+                ),
+            ]
         )
-    page = _finalize(
-        df["subj"].iat[0],
-        df["subj_title"].iat[0],
-        int(df["subj_type"].iat[0]),
-        props,
-        vals,
-        iscat,
-        depths,
-        seqs,
+
+    def ordered_lists(rows: pd.DataFrame, build_values):
+        codes = rows["subj"].map(code_of).to_numpy(dtype=np.int64)
+        order = np.lexsort((rows["seq"].to_numpy(), codes))
+        rows = rows.iloc[order]
+        counts = np.bincount(codes[order], minlength=m)
+        offsets = pa.array(np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+        return pa.ListArray.from_arrays(offsets, build_values(rows))
+
+    facts_list = ordered_lists(
+        facts,
+        lambda r: pa.StructArray.from_arrays(
+            [pa.array(r["prop"], pa.string()), pa.array(r["value"], pa.string())],
+            ["property", "value"],
+        ),
     )
-    return pa.Table.from_pydict(
-        {k: [page[k]] for k in PAGES_SCHEMA.names}, schema=PAGES_SCHEMA
+    cats_list = ordered_lists(
+        cat_cand.drop_duplicates(["subj", "value"]),
+        lambda r: pa.array(r["value"], pa.string()),
+    )
+
+    # SpecificCategory: first candidate (input order) achieving the
+    # per-subject max depth, only when that max > 0
+    deep = cat_cand[cat_cand["depth"] > 0]
+    spec_map: dict[str, str] = {}
+    if len(deep):
+        maxd = deep.groupby("subj")["depth"].transform("max")
+        best = (
+            deep[deep["depth"] == maxd]
+            .sort_values("seq", kind="mergesort")
+            .drop_duplicates("subj")
+        )
+        spec_map = dict(zip(best["subj"], best["value"]))
+
+    titles = page_title_series(
+        meta["subj_title"].reset_index(drop=True),
+        meta["subj_type"].reset_index(drop=True),
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(titles, pa.string()),
+            pa.array(meta["subj_type"], pa.int32()),
+            facts_list,
+            cats_list,
+            pa.array([spec_map.get(s, "") for s in subj_order], pa.string()),
+            pa.array(subj_order, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
     )
 
 
-def fold_pages(resolved, *, salt: int = 1):
+_MERGE_BUCKETS = 64
+
+
+def fold_pages(resolved, *, salt: int = 1, merge_buckets: int = _MERGE_BUCKETS):
     """resolved Dataset → pages Dataset (PAGES_SCHEMA), one row per
     subject.
 
-    ``salt`` is accepted for API stability but the combiner makes it
-    moot: partial folding is always batch-granular (finer than any
-    salt), so the keyed shuffle only ever moves deduped packed rows.
+    Two-level keyed aggregation: batch-granular combiner (``salt`` is
+    accepted for API stability but the combiner is strictly finer than
+    any salt), then a shuffle on ``hash(subj) % merge_buckets`` with a
+    fully vectorized multi-subject merge per bucket — the reduce side
+    costs ``merge_buckets`` Python calls total, not one per subject.
     """
     packed = resolved.map_batches(_pack_batch, batch_format="pyarrow")
-    return packed.groupby("subj").map_groups(_merge_group, batch_format="pandas")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(batch["subj"].to_pylist()), index=False
+        ).to_numpy()
+        return batch.append_column(
+            "bucket", pa.array((h % merge_buckets).astype(np.int32), pa.int32())
+        )
+
+    bucketed = packed.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(_merge_bucket, batch_format="pandas")
