@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rdf2smw_ray.functions.wikititle import (
     CATEGORY_PREDICATES,
@@ -191,6 +192,93 @@ def build_sidecar(triples) -> pa.Table:
             "depth": pa.array([uris[k].get("depth", 0) for k in keys], pa.int32()),
         },
         schema=SIDECAR_SCHEMA,
+    )
+
+
+def build_sidecar_ds(triples, *, merge_buckets: int = 64):
+    """Fully distributed sidecar build → sidecar Dataset (SIDECAR_SCHEMA).
+
+    For corpora whose titled/typed-entity count is too large for the
+    driver-reduced :func:`build_sidecar` (the broadcast path): the same
+    single-pass partials are shuffled on ``hash(subj) % merge_buckets``
+    and reduced per bucket with vectorized first-per-key logic. Only
+    the class-graph depth walk still runs on the driver — bounded by
+    ontology size (distinct objects of type/subClassOf triples), not
+    entity count. Pair with
+    ``stages/resolve.py::resolve_triples_join``.
+    """
+    import ray
+    import ray.data as rd
+
+    partials = triples.select_columns(["subj", "pred", "obj", "seq"]).map_batches(
+        _sidecar_partial, batch_format="pyarrow"
+    ).materialize()
+
+    # --- driver: class-graph depths (ontology-bounded) -------------------
+    edge_rows = partials.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], _K_EDGE)).select(["subj", "obj"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(edge_rows):
+        edge_rows = edge_rows.drop_duplicates(["subj", "obj"])
+        eval_uris = sorted(set(edge_rows["obj"]))
+        depths = {
+            u: d
+            for u, d in compute_depths(
+                edge_rows[edge_rows["subj"].isin(set(eval_uris))], eval_uris
+            ).items()
+            if d > 0
+        }
+    else:
+        depths = {}
+    depth_ref = ray.put(depths)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(batch["subj"].to_pylist()), index=False
+        ).to_numpy()
+        return batch.append_column(
+            "bucket",
+            pa.array((h % merge_buckets).astype("int32"), pa.int32()),
+        )
+
+    def merge_bucket(df: pd.DataFrame) -> pa.Table:
+        dmap = ray.get(depth_ref)
+        titles = df[df["kind"] == _K_TITLE]
+        titles = titles.sort_values(["prio", "seq"], kind="mergesort").drop_duplicates(
+            "subj"
+        )
+        types = df[df["kind"] == _K_TYPE]
+        types = types.sort_values("seq", kind="mergesort").drop_duplicates("subj")
+        type_map = dict(
+            zip(types["subj"], types["obj"].map(_TYPE_OBJ_TO_URITYPE).astype(int))
+        )
+        title_map = dict(zip(titles["subj"], titles["obj"]))
+        keys = sorted(
+            set(titles["subj"]) | set(types["subj"]) | (set(df["subj"]) & set(dmap))
+        )
+        if not keys:
+            return SIDECAR_SCHEMA.empty_table()
+        raw = pd.Series([title_map.get(k, "") for k in keys], dtype=object)
+        fb = raw.eq("") | raw.isna()
+        raw = raw.where(~fb, local_name_series(pd.Series(keys, dtype=object)))
+        final = clean_title_series(raw.astype(str))
+        return pa.Table.from_pydict(
+            {
+                "uri": pa.array(keys, pa.string()),
+                "title": pa.array(list(final), pa.string()),
+                "uri_type": pa.array(
+                    [type_map.get(k, URITYPE_UNDEFINED) for k in keys], pa.int32()
+                ),
+                "depth": pa.array([dmap.get(k, 0) for k in keys], pa.int32()),
+            },
+            schema=SIDECAR_SCHEMA,
+        )
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
 
 
