@@ -169,6 +169,8 @@ def run_headline(num_cpus: int) -> dict:
     triples = extract_triples(extract_text(web_pages)).materialize()
     n_triples = triples.count()
     phases["front"] = round(time.monotonic() - tp, 2)
+    if "--stats" in sys.argv:
+        print(triples.stats(), file=sys.stderr)
 
     tp = time.monotonic()
     out = rdf2smw_pipeline(triples, resolver_concurrency=num_cpus, materialize=True)
