@@ -177,6 +177,57 @@ class StageCheckpoint:
         return sdir, False
 
 
+def write_xml_parts(rendered_ds, out_dir: str) -> dict:
+    """Scale path for the XML dump: every batch writes its own
+    ``part-*.xmlfrag`` (page elements only, no framing) plus a
+    manifest entry; page order across parts is not semantically
+    meaningful to MediaWiki import (only the framing is —
+    mwxmlcreator.go:59-60). ``stitch_xml_parts`` produces the final
+    framed file when a single file is actually needed."""
+    import hashlib
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batch):
+        import pyarrow as pa
+
+        xml = "".join(batch["xml"].to_pylist())
+        frag_id = hashlib.blake2b(xml.encode(), digest_size=8).hexdigest()
+        path = os.path.join(out_dir, f"part-{frag_id}.xmlfrag")
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(xml)
+        os.replace(tmp, path)
+        _atomic_write_json(
+            path + ".manifest.json",
+            {"status": "done", "pages": batch.num_rows, "bytes": len(xml)},
+        )
+        return pa.table({"part": [path], "pages": [batch.num_rows]})
+
+    parts = rendered_ds.select_columns(["xml"]).map_batches(
+        write_part, batch_format="pyarrow", batch_size=4096
+    )
+    pdf = parts.to_pandas()
+    if "part" not in pdf.columns:
+        return {"parts": 0, "pages": 0}
+    return {"parts": len(pdf), "pages": int(pdf["pages"].sum())}
+
+
+def stitch_xml_parts(parts_dir: str, out_path: str) -> int:
+    """Concatenate completed part fragments into one framed dump."""
+    n = 0
+    with open(out_path, "w") as out:
+        out.write("<mediawiki>\n")
+        for f in sorted(os.listdir(parts_dir)):
+            if f.endswith(".xmlfrag"):
+                with open(os.path.join(parts_dir, f)) as frag:
+                    out.write(frag.read())
+                n += 1
+        out.write("</mediawiki>\n")
+    return n
+
+
 def write_xml_dump(rendered_ds, out_path: str, *, stitch: bool = True) -> int:
     """MediaWiki XML dump sink: streams the ``xml`` column into
     ``out_path`` with the reference's ``<mediawiki>`` header/footer
