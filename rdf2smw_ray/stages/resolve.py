@@ -208,64 +208,133 @@ def resolve_triples(
     )
 
 
-def resolve_triples_join(triples, sidecar_ds, *, num_partitions: int = 64):
-    """Large-sidecar path: hash-partitioned joins instead of broadcast.
+def _bucket_of(values: pd.Series, num_partitions: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy()
+    return (h % num_partitions).astype(np.int32)
 
-    Joins the triples against the sidecar Dataset three times (on
-    ``subj``, ``pred`` and IRI ``obj``) with ``Dataset.join`` and then
-    applies the same vectorized finishers. Costs three shuffles of the
-    triple stream — use only when the sidecar cannot be broadcast.
+
+def _bucketed_left_lookup(left_ds, key: str, side_ds, out_cols: dict, num_partitions: int):
+    """Explicit partitioned hash join (ray_guide "portable pattern"):
+    tag both sides, co-shuffle on ``hash(key) % num_partitions``, merge
+    each bucket with a pandas left-join. Avoids the experimental
+    ``Dataset.join`` operator (its hash-shuffle aggregator actors stall
+    intermittently at low CPU counts).
+
+    ``out_cols``: sidecar column → output column name; joined columns
+    are appended to the left rows (null where unmatched).
     """
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        b = batch.append_column(
+            "__bucket",
+            pa.array(_bucket_of(pd.Series(batch[key].to_pylist()), num_partitions)),
+        )
+        return b.append_column("__side", pa.array(np.zeros(len(batch), dtype=np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # reshape the sidecar row to the combined schema: key + payload
+        out = pa.table(
+            {
+                key: batch["uri"],
+                **{dst: batch[src] for src, dst in out_cols.items()},
+            }
+        )
+        b = out.append_column(
+            "__bucket",
+            pa.array(_bucket_of(pd.Series(out[key].to_pylist()), num_partitions)),
+        )
+        return b.append_column("__side", pa.array(np.ones(len(out), dtype=np.int8)))
+
+    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    right_tagged = side_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    left_cols = None
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        right = df[df["__side"] == 1]
+        left = df[df["__side"] == 0].drop(columns=["__bucket", "__side"])
+        left = left.drop(columns=[c for c in out_cols.values() if c in left.columns])
+        rcols = [key, *out_cols.values()]
+        right = right[rcols].drop_duplicates(key)
+        merged = left.merge(right, on=key, how="left")
+        # stable dtypes across buckets (a fully-matched bucket would
+        # otherwise keep int while others go float-with-NaN)
+        for c in out_cols.values():
+            if pd.api.types.is_numeric_dtype(merged[c]):
+                merged[c] = merged[c].astype("float64")
+            else:
+                merged[c] = merged[c].astype(object).where(merged[c].notna(), None)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    # union needs one combined schema: pad each side with the other's
+    # missing columns as typed nulls
+    combined: dict[str, object] = {}
+    for d in (left_tagged, right_tagged):
+        sch = d.schema()
+        for n, t in zip(sch.names, sch.types):
+            combined.setdefault(n, t)
+    all_cols = list(combined)
+
+    def pad(batch: pa.Table) -> pa.Table:
+        for c, t in combined.items():
+            if c not in batch.column_names:
+                batch = batch.append_column(c, pa.nulls(len(batch), type=t))
+        return batch.select(all_cols)
+
+    padded_l = left_tagged.map_batches(pad, batch_format="pyarrow")
+    padded_r = right_tagged.map_batches(pad, batch_format="pyarrow")
+    unioned = padded_l.union(padded_r)
+    return unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def resolve_triples_join(triples, sidecar_ds, *, num_partitions: int = 64):
+    """Large-sidecar path: explicit hash-partitioned lookups instead of
+    broadcast — three co-shuffles of the triple stream (on ``subj``,
+    ``pred``, IRI ``obj``), each a bucketed pandas merge. Use when the
+    sidecar cannot be broadcast (see ``build_sidecar_ds``)."""
     import ray.data as rd
 
-    side = sidecar_ds if not isinstance(sidecar_ds, pa.Table) else rd.from_arrow(sidecar_ds)
+    side = (
+        rd.from_arrow(sidecar_ds) if isinstance(sidecar_ds, pa.Table) else sidecar_ds
+    )
+
+    step1 = _bucketed_left_lookup(
+        triples,
+        "subj",
+        side,
+        {"title": "title_s", "uri_type": "uri_type_s"},
+        num_partitions,
+    )
+    step2 = _bucketed_left_lookup(
+        step1, "pred", side, {"title": "title_p"}, num_partitions
+    )
+    step3 = _bucketed_left_lookup(
+        step2, "obj", side, {"title": "title_o", "depth": "depth_o"}, num_partitions
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        lookup = {
-            "title": {},
-            "uri_type": {},
-            "depth": {},
-        }
-        # build per-batch mini-lookup from the joined columns
-        for col, key in (("subj", "s"), ("pred", "p"), ("obj", "o")):
-            t = df.get(f"title_{key}")
+        lookup: dict[str, dict] = {"title": {}, "uri_type": {}, "depth": {}}
+        for col, suffix in (("subj", "title_s"), ("pred", "title_p"), ("obj", "title_o")):
+            t = df.get(suffix)
             if t is not None:
                 mask = t.notna()
                 lookup["title"].update(dict(zip(df[col][mask], t[mask])))
         ut = df.get("uri_type_s")
         if ut is not None:
             mask = ut.notna()
-            lookup["uri_type"].update(dict(zip(df["subj"][mask], ut[mask].astype(int))))
+            lookup["uri_type"].update(
+                dict(zip(df["subj"][mask], ut[mask].astype(int)))
+            )
         dp = df.get("depth_o")
         if dp is not None:
             mask = dp.notna()
             lookup["depth"].update(dict(zip(df["obj"][mask], dp[mask].astype(int))))
-        cols = [c for c in batch.column_names if not (c.startswith("title_") or c.startswith("uri_type_") or c.startswith("depth_"))]
-        return resolve_batch(batch.select(cols), lookup)
+        keep = [
+            c
+            for c in batch.column_names
+            if c not in ("title_s", "title_p", "title_o", "uri_type_s", "depth_o")
+        ]
+        return resolve_batch(batch.select(keep), lookup)
 
-    joined = triples.join(
-        side.rename_columns(
-            {"uri": "subj", "title": "title_s", "uri_type": "uri_type_s", "depth": "depth_s"}
-        ),
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("subj",),
-    )
-    joined = joined.join(
-        side.rename_columns(
-            {"uri": "pred", "title": "title_p", "uri_type": "uri_type_p", "depth": "depth_p"}
-        ),
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("pred",),
-    )
-    joined = joined.join(
-        side.rename_columns(
-            {"uri": "obj", "title": "title_o", "uri_type": "uri_type_o", "depth": "depth_o"}
-        ),
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("obj",),
-    )
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return step3.map_batches(finish, batch_format="pyarrow")
