@@ -136,7 +136,8 @@ def main(argv: list[str] | None = None) -> int:
 
         for key, ds in streams.items():
             rendered = ds
-            if "xml" not in (rendered.schema().names or []):
+            schema = rendered.schema()  # None for empty datasets
+            if "xml" not in (schema.names if schema is not None else []):
                 rendered = render_pages(
                     ds, use_templates=use_templates, timestamp=args.timestamp
                 )

@@ -90,29 +90,31 @@ def parse_ntriples_lines(
     seqs = seqs[ok.to_numpy()]
 
     ext = ext.astype(object)  # keep object dtype through fillna chains
-    subj = ext["subj_iri"].fillna(ext["subj_blank"]).fillna("")
-    pred = ext["pred"].fillna("")
-    is_iri = ext["obj_iri"].notna()
-    is_blank = ext["obj_blank"].notna()
-    lit = ext["lit"]
+    with pd.option_context("future.no_silent_downcasting", True):
+        subj = ext["subj_iri"].fillna(ext["subj_blank"]).fillna("")
+        pred = ext["pred"].fillna("")
+        is_iri = ext["obj_iri"].notna()
+        is_blank = ext["obj_blank"].notna()
+        lit = ext["lit"]
 
-    obj = ext["obj_iri"].fillna(ext["obj_blank"])
-    lit_vals = lit.copy()
-    needs_unescape = lit_vals.notna() & lit_vals.str.contains("\\", regex=False)
-    if needs_unescape.any():
-        lit_vals[needs_unescape] = lit_vals[needs_unescape].map(unescape_literal)
-    obj = obj.fillna(lit_vals).fillna("")
+        obj = ext["obj_iri"].fillna(ext["obj_blank"])
+        lit_vals = lit.copy()
+        needs_unescape = lit_vals.notna() & lit_vals.str.contains("\\", regex=False)
+        if needs_unescape.any():
+            lit_vals[needs_unescape] = lit_vals[needs_unescape].map(unescape_literal)
+        obj = obj.fillna(lit_vals).fillna("")
 
     # Datatype: explicit ^^<dt> wins; bare "..." is xsd:string; "..."@lang
     # is rdf:langString (knakk/rdf's behavior mirrored by the reference's
     # datatype switch, triplestowikipageconv.go:120-132).
-    lang = ext["lang"].fillna("")
-    dt = ext["dt"].copy()
-    bare = lit.notna() & dt.isna() & (lang == "")
-    dt[bare] = "http://www.w3.org/2001/XMLSchema#string"
-    tagged = lit.notna() & dt.isna() & (lang != "")
-    dt[tagged] = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
-    dt = dt.fillna("")
+    with pd.option_context("future.no_silent_downcasting", True):
+        lang = ext["lang"].fillna("")
+        dt = ext["dt"].copy()
+        bare = lit.notna() & dt.isna() & (lang == "")
+        dt[bare] = "http://www.w3.org/2001/XMLSchema#string"
+        tagged = lit.notna() & dt.isna() & (lang != "")
+        dt[tagged] = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+        dt = dt.fillna("")
 
     kind = np.where(is_iri, OBJ_IRI, np.where(is_blank, OBJ_BLANK, OBJ_LITERAL))
     return pa.Table.from_pydict(

@@ -30,3 +30,22 @@ def test_cli_ntriples_to_xml(tmp_path):
     # reference-style derived names
     assert (tmp_path / "out_properties.xml").exists()
     assert (tmp_path / "out_templates.xml").exists()
+
+
+def test_cli_parquet_out(tmp_path):
+    import ray.data as rd
+
+    from rdf2smw_ray.__main__ import main
+
+    nt = tmp_path / "in.nt"
+    nt.write_text('<http://e/a> <http://e/p> "v" .\n')
+    rc = main(
+        [
+            "-in", str(nt),
+            "-out", str(tmp_path / "o.xml"),
+            "--parquet-out", str(tmp_path / "pq"),
+        ]
+    )
+    assert rc == 0
+    pages = rd.read_parquet(str(tmp_path / "pq" / "pages")).to_pandas()
+    assert len(pages) == 1 and "xml" in pages.columns
