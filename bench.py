@@ -221,12 +221,15 @@ def run_queries(num_cpus: int) -> dict:
         "pricing_summary",
         "revenue_per_orderpriority",
         "orders_per_nation",
+        "top_orders_per_nation",
         "events_hourly",
+        "sessionize",
         "exact_dedup",
         "minhash_dedup",
         "simhash",
         "quality_score",
         "ann_topk",
+        "media_features",
         "kg_extracted_triples",
     ]
     q = all_queries()

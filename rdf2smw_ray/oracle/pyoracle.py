@@ -107,16 +107,29 @@ def _uri_to_title(uri, uri_type, index):
     return page_title, fact_title
 
 
-def _count_super_categories(tr, index, guard=0):
-    cat = index.get(tr["obj"])
+def _count_super_categories(tr, index, memo=None):
+    """Depth of the super-category chain from tr's object
+    (triplestowikipageconv.go:278-292). The reference recurses without
+    memoization — exponential on dense graphs and non-terminating on
+    cycles; memoized here with re-entrant lookups seeing 0 (the same
+    cycle semantics as the engine's stages/sidecar.py::compute_depths,
+    identical to the reference on acyclic data)."""
+    if memo is None:
+        memo = {}
+    obj = tr["obj"]
+    if obj in memo:
+        return memo[obj]
+    memo[obj] = 0  # cycle guard: re-entrant lookups see 0
+    cat = index.get(obj)
     top = 0
-    if cat is not None and guard < 64:
+    if cat is not None:
         for sub in cat:
             if sub["pred"] in (_TYPE_URI, _SUBCLASS_URI):
-                c = _count_super_categories(sub, index, guard + 1) + 1
+                c = _count_super_categories(sub, index, memo) + 1
                 if c > top:
                     top = c
-    return top
+    memo[obj] = min(top, 64)
+    return memo[obj]
 
 
 def _new_page(title, ptype):
@@ -156,6 +169,7 @@ def convert(triples, use_templates=True, timestamp="2015-01-01T00:00:00Z"):
 
     pred_pages: dict[str, dict] = {}
     content_pages: list[dict] = []
+    depth_memo: dict[str, int] = {}
 
     for s in order:
         aggr = index[s]
@@ -186,7 +200,7 @@ def convert(triples, use_templates=True, timestamp="2015-01-01T00:00:00Z"):
                 value = ""
             if tr["pred"] in (_TYPE_URI, _SUBCLASS_URI):
                 _add_cat_unique(page, value)
-                cnt = _count_super_categories(tr, index)
+                cnt = _count_super_categories(tr, index, depth_memo)
                 if cnt > top:
                     top = cnt
                     page["specific"] = value

@@ -102,7 +102,7 @@ def _table(rows) -> pa.Table:
     )
 
 
-@pytest.mark.parametrize("seed", [1, 7, 23])
+@pytest.mark.parametrize("seed", [1, 7, 23, 99, 424242])
 def test_random_corpus_matches_oracle(seed):
     rows = _gen(seed, 1500)
     t = _table(rows)
