@@ -264,6 +264,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_normalize_text(sf_dir: str):
+    from rdf2smw_ray.pipelines.textstats import normalize_text
+
+    out = normalize_text(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NORMALIZE_SQL = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_docs_per_source(sf_dir: str):
+    """Per-source corpus stats: partial per-batch reduce → tiny final
+    groupby."""
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby("source", sort=False)
+            .agg(n=("doc_id", "size"), chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["avg_chars"] = (out["chars"] / out["n"]).round(4)
+    out["chars"] = out["chars"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+DOCS_PER_SOURCE_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       ROUND(CAST(SUM(n_chars) AS BIGINT) / COUNT(*)::DOUBLE, 4) AS avg_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_lang_id(sf_dir: str):
     out = lang_id(_docs(sf_dir, columns=["doc_id", "text"]), concurrency=2).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -405,6 +454,8 @@ def all_queries():
         # text analysis
         "token_stats": q_token_stats,
         "quality_score": q_quality,
+        "normalize_text": q_normalize_text,
+        "docs_per_source": q_docs_per_source,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         # dedup
@@ -477,6 +528,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         "token_stats": TOKEN_STATS_SQL,
         "quality_score": QUALITY_SQL,
+        "normalize_text": NORMALIZE_SQL,
+        "docs_per_source": DOCS_PER_SOURCE_SQL,
         # lang_id, fingerprints, minhash_dedup, simhash, ann_lsh_topk,
         # embedding_near_dup: heuristic / hash-seeded → rows-only
         "exact_dedup": EXACT_DEDUP_SQL,

@@ -310,34 +310,76 @@ FROM events GROUP BY event_type ORDER BY event_type
 # ---------------------------------------------------------------------------
 # Large-side hash join demo (both sides big): lineitem ⋈ orders on orderkey
 # ---------------------------------------------------------------------------
-def revenue_per_orderpriority(sf_dir: str) -> pd.DataFrame:
-    """lineitem ⋈ orders via Ray's hash-partitioned ``Dataset.join``,
-    then partial+final aggregation per o_orderpriority."""
+def revenue_per_orderpriority(sf_dir: str, *, num_buckets: int = 16) -> pd.DataFrame:
+    """lineitem ⋈ orders as an EXPLICIT partitioned hash join
+    (ray_guide "portable pattern"): both sides tagged and co-shuffled
+    on ``hash(orderkey) % num_buckets``, merged AND pre-aggregated
+    inside each bucket, tiny final groupby. (Ray's experimental
+    ``Dataset.join`` operator stalls intermittently at low CPU counts —
+    see stages/resolve.py — so the engine owns its join.)"""
+    import numpy as np
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
 
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=8,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    def bucket_of(keys: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        return (h % num_buckets).astype(np.int32)
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "key": df["l_orderkey"],
+                    "price": df["l_extendedprice"],
+                    "disc": df["l_discount"],
+                    "prio": None,
+                    "side": np.int8(0),
+                    "bucket": bucket_of(df["l_orderkey"]),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "key": df["o_orderkey"],
+                    "price": np.nan,
+                    "disc": np.nan,
+                    "prio": df["o_orderpriority"].astype(object),
+                    "side": np.int8(1),
+                    "bucket": bucket_of(df["o_orderkey"]),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    unioned = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+    def merge_agg(df: pd.DataFrame) -> pa.Table:
+        left = df[df["side"] == 0].drop(columns=["prio"])
+        right = df[df["side"] == 1][["key", "prio"]].drop_duplicates("key")
+        m = left.merge(right, on="key", how="inner")
+        m["rev"] = m["price"] * (1 - m["disc"])
         g = (
-            df.groupby("o_orderpriority", sort=False)
+            m.groupby("prio", sort=False)
             .agg(revenue=("rev", "sum"), n_items=("rev", "size"))
             .reset_index()
+            .rename(columns={"prio": "o_orderpriority"})
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
     out = (
-        joined.map_batches(partial, batch_format="pyarrow")
+        unioned.groupby("bucket")
+        .map_groups(merge_agg, batch_format="pandas")
         .groupby("o_orderpriority")
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
         .to_pandas()

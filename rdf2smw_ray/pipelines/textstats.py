@@ -70,6 +70,24 @@ def quality_score(docs):
     return docs.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
+def normalize_text_batch(batch: pa.Table) -> pa.Table:
+    """Text normalization: lowercase, collapse whitespace runs, strip —
+    the canonical pre-tokenization cleanup for training corpora."""
+    texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+    norm = (
+        texts.str.lower()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+    return pa.table(
+        {"doc_id": batch["doc_id"], "norm_text": pa.array(norm, pa.string())}
+    )
+
+
+def normalize_text(docs):
+    return docs.map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Language ID — tiny stopword-profile heuristic (no external models in
 # this environment; the plumbing — actor pool with profiles compiled
