@@ -76,3 +76,21 @@ def test_turtle_through_pipeline(tmp_path):
     res = rdf2smw_pipeline(read_turtle(str(p)), resolver_concurrency=2)
     titles = set(res["content"].to_pandas()["title"])
     assert "S One" in titles
+
+
+def test_turtle_random_literals_roundtrip():
+    """Randomized literal escaping through the Turtle tokenizer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdf2smw_ray.sources.ntriples import escape_literal
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=50))
+    def inner(s):
+        ttl = f'<http://e/s> <http://e/p> "{escape_literal(s)}" .'
+        t = parse_turtle(ttl)
+        assert t.num_rows == 1
+        assert t["obj"].to_pylist()[0] == s
+
+    inner()
