@@ -23,6 +23,24 @@ from rdf2smw_ray.stages.extract_triples import extract_triples
 from rdf2smw_ray.state.checkpoint import ShardedRun, StageCheckpoint, write_xml_dump
 
 
+def _extract_shard_arrow(path: str, shard_out: str) -> dict:
+    """Self-contained per-shard front half (runs as ONE Ray task in
+    parallel mode): pure pyarrow — read shard, extract text + triples
+    with the same batch kernels the Dataset stages use, write parquet.
+    No nested Dataset execution, so shards cost no per-execution
+    scheduler overhead."""
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.stages.extract_text import HtmlTextExtractor
+    from rdf2smw_ray.stages.extract_triples import PatternTripleExtractor
+
+    pages = pq.read_table(path)
+    text = HtmlTextExtractor()(pages)
+    triples = PatternTripleExtractor()(text)
+    pq.write_table(triples, os.path.join(shard_out, "triples.parquet"))
+    return {"rows_in": pages.num_rows, "rows_out": triples.num_rows}
+
+
 def run_kg_checkpointed(
     web_page_paths: list[str],
     out_dir: str,
@@ -31,9 +49,15 @@ def run_kg_checkpointed(
     salt: int = 1,
     concurrency: int | tuple[int, int] = 4,
     write_xml: bool = False,
+    parallel_shards: bool = True,
     fail_after_shards: int | None = None,  # test hook: simulate a crash
 ) -> dict:
-    """Run (or resume) the full pipeline over web-page parquet shards."""
+    """Run (or resume) the full pipeline over web-page parquet shards.
+
+    ``parallel_shards=True`` (default): the front half runs
+    task-per-shard (``_extract_shard_arrow``); set False to run each
+    shard as its own Dataset pipeline (only useful for single shards
+    too large for one task)."""
     import ray.data as rd
 
     from rdf2smw_ray.pipelines.rdf2smw import rdf2smw_pipeline
@@ -53,10 +77,34 @@ def run_kg_checkpointed(
         processed["n"] += 1
         return {"rows_out": triples.count()}
 
-    summary = triples_run.process_shards(web_page_paths, process_shard)
+    if fail_after_shards is not None or not parallel_shards:
+        summary = triples_run.process_shards(web_page_paths, process_shard)
+    else:
+        summary = triples_run.process_shards(
+            web_page_paths, _extract_shard_arrow, ray_parallel=True
+        )
 
     # ---- back half over ALL completed shards ----------------------------
     stages = StageCheckpoint(os.path.join(out_dir, "stages"))
+    stage_names = ("pages", "properties", "templates")
+    if summary["processed"] > 0:
+        # new/changed shards invalidate the global stages
+        for name in stage_names:
+            stages.invalidate(name)
+
+    if all(stages.is_done(n) for n in stage_names):
+        # fully resumed: nothing to recompute
+        dirs = {n: stages.stage_dir(n) for n in stage_names}
+        if write_xml:
+            for name, d in dirs.items():
+                write_xml_dump(rd.read_parquet(d), os.path.join(out_dir, f"{name}.xml"))
+        return {
+            "shards": summary,
+            "pages_dir": dirs["pages"],
+            "properties_dir": dirs["properties"],
+            "templates_dir": dirs["templates"],
+        }
+
     triple_files = sorted(
         os.path.join(d, f)
         for d in triples_run.completed_output_dirs()

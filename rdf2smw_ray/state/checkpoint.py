@@ -77,45 +77,110 @@ class ShardedRun:
             shard_path
         )
 
+    @staticmethod
+    def shard_id_for(path: str) -> str:
+        return "shard-" + hashlib.blake2b(
+            os.path.basename(path).encode(), digest_size=6
+        ).hexdigest()
+
+    def _finalize_shard(
+        self, shard_id: str, path: str, tmp_dir: str, counters: dict, t0: float
+    ) -> None:
+        sdir = self.shard_dir(shard_id)
+        if os.path.exists(sdir):
+            import shutil
+
+            shutil.rmtree(sdir)
+        os.replace(tmp_dir, sdir)
+        _atomic_write_json(
+            self._manifest_path(shard_id),
+            {
+                "status": "done",
+                "input": path,
+                "fingerprint": file_fingerprint(path),
+                "wall_sec": round(time.monotonic() - t0, 3),
+                **(counters or {}),
+            },
+        )
+
+    def _prep_tmp(self, shard_id: str) -> str:
+        tmp_dir = self.shard_dir(shard_id) + ".tmp"
+        if os.path.exists(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir, exist_ok=True)
+        return tmp_dir
+
     def process_shards(
         self,
         shard_paths: list[str],
         process_fn: Callable[[str, str], dict],
+        *,
+        ray_parallel: bool = False,
+        max_in_flight: int | None = None,
     ) -> dict:
-        """Run all pending shards; returns summary counters."""
-        done = skipped = 0
+        """Run all pending shards; returns summary counters.
+
+        ``ray_parallel=True``: each shard runs as ONE plain Ray task
+        (``process_fn`` must be cluster-shippable and self-contained —
+        typically pure pyarrow, no nested Dataset), with a sliding
+        window of ``max_in_flight`` outstanding tasks. A sequential
+        driver loop of per-shard Dataset executions pays seconds of
+        fixed overhead per shard; task-per-shard is the scale shape
+        for the embarrassingly parallel front half. Manifests are
+        still written by the driver as each task completes, so resume
+        granularity is unchanged.
+        """
+        pending: list[tuple[str, str]] = []
+        skipped = 0
         for path in sorted(shard_paths):
-            shard_id = "shard-" + hashlib.blake2b(
-                os.path.basename(path).encode(), digest_size=6
-            ).hexdigest()
+            shard_id = self.shard_id_for(path)
             if self.is_done(shard_id, path):
                 skipped += 1
-                continue
-            sdir = self.shard_dir(shard_id)
-            tmp_dir = sdir + ".tmp"
-            if os.path.exists(tmp_dir):
-                import shutil
+            else:
+                pending.append((shard_id, path))
 
-                shutil.rmtree(tmp_dir)
-            os.makedirs(tmp_dir, exist_ok=True)
-            t0 = time.monotonic()
-            counters = process_fn(path, tmp_dir)
-            if os.path.exists(sdir):
-                import shutil
+        done = 0
+        if not ray_parallel:
+            for shard_id, path in pending:
+                tmp_dir = self._prep_tmp(shard_id)
+                t0 = time.monotonic()
+                counters = process_fn(path, tmp_dir)
+                self._finalize_shard(shard_id, path, tmp_dir, counters, t0)
+                done += 1
+            return {"processed": done, "skipped": skipped}
 
-                shutil.rmtree(sdir)
-            os.replace(tmp_dir, sdir)
-            _atomic_write_json(
-                self._manifest_path(shard_id),
-                {
-                    "status": "done",
-                    "input": path,
-                    "fingerprint": file_fingerprint(path),
-                    "wall_sec": round(time.monotonic() - t0, 3),
-                    **(counters or {}),
-                },
-            )
+        import ray
+
+        if max_in_flight is None:
+            max_in_flight = int(ray.cluster_resources().get("CPU", 8)) * 2
+        remote_fn = ray.remote(num_cpus=1)(process_fn)
+        in_flight: dict = {}
+        it = iter(pending)
+        t_start: dict = {}
+
+        def submit_next() -> bool:
+            try:
+                shard_id, path = next(it)
+            except StopIteration:
+                return False
+            tmp_dir = self._prep_tmp(shard_id)
+            ref = remote_fn.remote(path, tmp_dir)
+            in_flight[ref] = (shard_id, path, tmp_dir)
+            t_start[ref] = time.monotonic()
+            return True
+
+        while len(in_flight) < max_in_flight and submit_next():
+            pass
+        while in_flight:
+            ready, _ = ray.wait(list(in_flight), num_returns=1)
+            ref = ready[0]
+            shard_id, path, tmp_dir = in_flight.pop(ref)
+            counters = ray.get(ref)
+            self._finalize_shard(shard_id, path, tmp_dir, counters, t_start.pop(ref))
             done += 1
+            submit_next()
         return {"processed": done, "skipped": skipped}
 
     def completed_output_dirs(self) -> list[str]:
@@ -142,6 +207,18 @@ class StageCheckpoint:
 
     def stage_dir(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
+
+    def is_done(self, name: str) -> bool:
+        mp = os.path.join(self.out_dir, f"{name}.manifest.json")
+        try:
+            return json.load(open(mp)).get("status") == "done"
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    def invalidate(self, name: str) -> None:
+        mp = os.path.join(self.out_dir, f"{name}.manifest.json")
+        if os.path.exists(mp):
+            os.remove(mp)
 
     def stage(self, name: str, fn: Callable[[str], dict]) -> tuple[str, bool]:
         """Returns (stage_output_dir, was_skipped)."""

@@ -91,10 +91,7 @@ def test_incremental_new_shard(tmp_path):
     out = str(tmp_path / "out")
     run_kg_checkpointed(shards[:2], out, concurrency=2)
     n_before = len(_pages_frame(os.path.join(out, "stages", "pages")))
-    # wipe stage manifests so the back half re-runs over the new shard set
-    for f in os.listdir(os.path.join(out, "stages")):
-        if f.endswith(".manifest.json"):
-            os.remove(os.path.join(out, "stages", f))
+    # new shards auto-invalidate the global stages
     res = run_kg_checkpointed(shards, out, concurrency=2)
     assert res["shards"] == {"processed": 1, "skipped": 2}
     n_after = len(_pages_frame(os.path.join(out, "stages", "pages")))
