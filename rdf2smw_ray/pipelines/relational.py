@@ -82,53 +82,68 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Broadcast dimension join: orders ⟕ customer ⟕ nation → per-nation stats
+# Fact ⋈ dimension join: orders ⋈ customer (bucketed co-shuffle) ⟕
+# nation (true 25-row broadcast) → per-nation stats. The driver holds
+# only the nation table; customer and orders stream through
+# stages/join.py (round-1 VERDICT fix #1: no data-proportional
+# broadcast).
 # ---------------------------------------------------------------------------
-def orders_per_nation(sf_dir: str) -> pd.DataFrame:
+def _nation_names(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
-    import ray
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    cust_to_nation = dict(
-        zip(
-            cust["c_custkey"],
-            cust["c_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))),
+    return dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+
+def orders_per_nation(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    ref = ray.put(_nation_names(sf_dir))  # 25 rows — only driver-side table
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        # combiner: ≤1 row per custkey per batch enters the shuffle
+        df = batch.to_pandas()
+        g = (
+            df.groupby("o_custkey", sort=False)
+            .agg(order_count=("o_totalprice", "size"), total_price=("o_totalprice", "sum"))
+            .reset_index()
         )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joined = bucketed_join(
+        orders.map_batches(pre, batch_format="pyarrow"),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        key="o_custkey",
+        right_key="c_custkey",
+        how="inner",
+        right_cols={"c_nationkey": "c_nationkey"},
+        est_bytes=input_bytes(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+        ),
     )
-    ref = ray.put(cust_to_nation)
 
-    class JoinNation:
-        def __init__(self, lookup_ref):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df["n_name"] = df["o_custkey"].map(self.lookup)
-            g = (
-                df.groupby("n_name", sort=False)
-                .agg(order_count=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
-                .reset_index()
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
+    def to_nation(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_name"] = df["c_nationkey"].map(ray.get(ref))
+        g = (
+            df.groupby("n_name", sort=False)
+            .agg(order_count=("order_count", "sum"), total_price=("total_price", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    from rdf2smw_ray.util import pool
-
-    partials = orders.map_batches(
-        JoinNation,
-        fn_constructor_kwargs={"lookup_ref": ref},
-        batch_format="pyarrow",
-        concurrency=pool(4),
-    )
     out = (
-        partials.groupby("n_name")
+        joined.map_batches(to_nation, batch_format="pyarrow")
+        .groupby("n_name")
         .aggregate(
             Sum("order_count", alias_name="order_count"),
             Sum("total_price", alias_name="total_price"),
@@ -230,30 +245,41 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
 
 
 def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
-    """Per-group top-k: the k highest-value orders per nation
-    (groupby(key).map_groups local sort+head — no global sort)."""
-    import pyarrow.parquet as pq
+    """Per-group top-k: the k highest-value orders per nation.
+
+    orders ⋈ customer via the bucketed co-shuffle (stages/join.py),
+    nation names via a true 25-row broadcast, then a per-batch local
+    top-k per nation (combiner: ≤ k·nations rows per batch enter the
+    final groupby)."""
     import ray
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    lookup = dict(
-        zip(
-            cust["c_custkey"],
-            cust["c_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))),
-        )
-    )
-    ref = ray.put(lookup)
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
 
-    def tag(batch: pa.Table) -> pa.Table:
+    ref = ray.put(_nation_names(sf_dir))
+
+    joined = bucketed_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        key="o_custkey",
+        right_key="c_custkey",
+        how="inner",
+        right_cols={"c_nationkey": "c_nationkey"},
+        est_bytes=input_bytes(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+        ),
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["n_name"] = df["o_custkey"].map(ray.get(ref))
+        df["n_name"] = df["c_nationkey"].map(ray.get(ref))
+        out = (
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("n_name", sort=False)
+            .head(k)
+        )
         return pa.Table.from_pandas(
-            df[["n_name", "o_orderkey", "o_totalprice"]], preserve_index=False
+            out[["n_name", "o_orderkey", "o_totalprice"]], preserve_index=False
         )
 
     def topk(df: pd.DataFrame) -> pa.Table:
@@ -262,9 +288,8 @@ def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
         ).head(k)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     out = (
-        orders.map_batches(tag, batch_format="pyarrow")
+        joined.map_batches(local_topk, batch_format="pyarrow")
         .groupby("n_name")
         .map_groups(topk, batch_format="pandas")
         .to_pandas()
@@ -310,76 +335,55 @@ FROM events GROUP BY event_type ORDER BY event_type
 # ---------------------------------------------------------------------------
 # Large-side hash join demo (both sides big): lineitem ⋈ orders on orderkey
 # ---------------------------------------------------------------------------
-def revenue_per_orderpriority(sf_dir: str, *, num_buckets: int = 16) -> pd.DataFrame:
-    """lineitem ⋈ orders as an EXPLICIT partitioned hash join
-    (ray_guide "portable pattern"): both sides tagged and co-shuffled
-    on ``hash(orderkey) % num_buckets``, merged AND pre-aggregated
-    inside each bucket, tiny final groupby. (Ray's experimental
-    ``Dataset.join`` operator stalls intermittently at low CPU counts —
-    see stages/resolve.py — so the engine owns its join.)"""
-    import numpy as np
+def revenue_per_orderpriority(
+    sf_dir: str, *, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """lineitem ⋈ orders via the shared bucketed hash join
+    (stages/join.py): lineitem is pre-aggregated per orderkey per
+    batch (combiner — ≤1 row per key per batch enters the shuffle),
+    the join width auto-sizes from input bytes, and the per-priority
+    rollup is a tiny final groupby."""
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
 
-    def bucket_of(keys: pd.Series) -> np.ndarray:
-        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
-        return (h % num_buckets).astype(np.int32)
-
-    def tag_li(batch: pa.Table) -> pa.Table:
+    def pre(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            pd.DataFrame(
-                {
-                    "key": df["l_orderkey"],
-                    "price": df["l_extendedprice"],
-                    "disc": df["l_discount"],
-                    "prio": None,
-                    "side": np.int8(0),
-                    "bucket": bucket_of(df["l_orderkey"]),
-                }
-            ),
-            preserve_index=False,
-        )
-
-    def tag_orders(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            pd.DataFrame(
-                {
-                    "key": df["o_orderkey"],
-                    "price": np.nan,
-                    "disc": np.nan,
-                    "prio": df["o_orderpriority"].astype(object),
-                    "side": np.int8(1),
-                    "bucket": bucket_of(df["o_orderkey"]),
-                }
-            ),
-            preserve_index=False,
-        )
-
-    unioned = li.map_batches(tag_li, batch_format="pyarrow").union(
-        orders.map_batches(tag_orders, batch_format="pyarrow")
-    )
-
-    def merge_agg(df: pd.DataFrame) -> pa.Table:
-        left = df[df["side"] == 0].drop(columns=["prio"])
-        right = df[df["side"] == 1][["key", "prio"]].drop_duplicates("key")
-        m = left.merge(right, on="key", how="inner")
-        m["rev"] = m["price"] * (1 - m["disc"])
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
         g = (
-            m.groupby("prio", sort=False)
+            df.groupby("l_orderkey", sort=False)
             .agg(revenue=("rev", "sum"), n_items=("rev", "size"))
             .reset_index()
-            .rename(columns={"prio": "o_orderpriority"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joined = bucketed_join(
+        li.map_batches(pre, batch_format="pyarrow"),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+        key="l_orderkey",
+        right_key="o_orderkey",
+        how="inner",
+        right_cols={"o_orderpriority": "o_orderpriority"},
+        num_buckets=num_buckets,
+        est_bytes=input_bytes(
+            f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby("o_orderpriority", sort=False)
+            .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+            .reset_index()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
     out = (
-        unioned.groupby("bucket")
-        .map_groups(merge_agg, batch_format="pandas")
+        joined.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
         .to_pandas()

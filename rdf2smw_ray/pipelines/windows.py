@@ -133,27 +133,25 @@ ORDER BY p.user_id, p.event_id
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join: customers that never ordered. The order-key set is
-    broadcast (``ray.put``) and the filter runs inside map_batches —
-    at web scale this set becomes a Bloom filter, same shape."""
-    import pyarrow.parquet as pq
-    import ray
+    """Anti join: customers that never ordered, as a bucketed
+    co-shuffle (stages/join.py ``how="anti"``) — the orders side moves
+    only per-batch-distinct keys and the driver never holds a
+    data-proportional structure (round-1 VERDICT fix #2)."""
     import ray.data as rd
 
-    custkeys = set(
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
-            "o_custkey"
-        ].to_pylist()
-    )
-    ref = ray.put(custkeys)
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
 
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pa.array([k not in keys for k in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
-
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    out = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    out = bucketed_join(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        key="c_custkey",
+        right_key="o_custkey",
+        how="anti",
+        est_bytes=input_bytes(
+            f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet"
+        ),
+    ).to_pandas()
     if "c_custkey" not in out.columns:  # all-filtered → column-less frame
         return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
     return out.sort_values("c_custkey").reset_index(drop=True)
@@ -167,29 +165,48 @@ ORDER BY c_custkey
 
 
 def orders_from_europe(sf_dir: str) -> pd.DataFrame:
-    """Semi join via broadcast key set: order count + revenue for
-    customers in EUROPE."""
+    """Semi join: order count + revenue for customers in EUROPE. Only
+    the ≤25-row nation-key set is broadcast; the customer table is
+    filtered IN-STREAM to EU custkeys and semi-joined with orders via
+    the bucketed co-shuffle (round-1 VERDICT fix #2 — previously the
+    full customer table was scanned on the driver)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
     eu_regionkey = region.loc[region["r_name"] == "EUROPE", "r_regionkey"].iloc[0]
-    eu_nations = set(nation.loc[nation["n_regionkey"] == eu_regionkey, "n_nationkey"])
-    eu_custkeys = set(cust.loc[cust["c_nationkey"].isin(eu_nations), "c_custkey"])
-    ref = ray.put(eu_custkeys)
+    eu_nations = sorted(
+        nation.loc[nation["n_regionkey"] == eu_regionkey, "n_nationkey"]
+    )
+    ref = ray.put(eu_nations)  # ≤25 keys — only driver-side structure
 
-    def semi(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pa.array([k in keys for k in batch["o_custkey"].to_pylist()])
-        return batch.filter(mask)
+    def eu_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["c_nationkey"], value_set=pa.array(ray.get(ref)))
+        ).select(["c_custkey"])
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    filtered = ds.map_batches(semi, batch_format="pyarrow")
+    eu_cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(eu_only, batch_format="pyarrow")
+
+    filtered = bucketed_join(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ),
+        eu_cust,
+        key="o_custkey",
+        right_key="c_custkey",
+        how="semi",
+        est_bytes=input_bytes(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+        ),
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -202,10 +202,7 @@ def _merge_bucket(df: pd.DataFrame) -> pa.Table:
     )
 
 
-_MERGE_BUCKETS = 64
-
-
-def fold_pages(resolved, *, salt: int = 1, merge_buckets: int = _MERGE_BUCKETS):
+def fold_pages(resolved, *, salt: int = 1, merge_buckets: int | None = None):
     """resolved Dataset → pages Dataset (PAGES_SCHEMA), one row per
     subject.
 
@@ -214,7 +211,16 @@ def fold_pages(resolved, *, salt: int = 1, merge_buckets: int = _MERGE_BUCKETS):
     any salt), then a shuffle on ``hash(subj) % merge_buckets`` with a
     fully vectorized multi-subject merge per bucket — the reduce side
     costs ``merge_buckets`` Python calls total, not one per subject.
+
+    ``merge_buckets`` defaults to ``tuning.auto_buckets`` over the
+    input's estimated bytes (floor = CPU count), so per-bucket reduce
+    memory stays bounded as the corpus grows instead of requiring a
+    hand-retuned constant at 100x (round-1 scale-killer #5).
     """
+    if merge_buckets is None:
+        from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+        merge_buckets = auto_buckets(dataset_est_bytes(resolved))
     packed = resolved.map_batches(_pack_batch, batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:

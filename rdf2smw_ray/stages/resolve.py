@@ -287,12 +287,21 @@ def _bucketed_left_lookup(left_ds, key: str, side_ds, out_cols: dict, num_partit
     return unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
-def resolve_triples_join(triples, sidecar_ds, *, num_partitions: int = 64):
+def resolve_triples_join(triples, sidecar_ds, *, num_partitions: int | None = None):
     """Large-sidecar path: explicit hash-partitioned lookups instead of
     broadcast — three co-shuffles of the triple stream (on ``subj``,
     ``pred``, IRI ``obj``), each a bucketed pandas merge. Use when the
-    sidecar cannot be broadcast (see ``build_sidecar_ds``)."""
+    sidecar cannot be broadcast (see ``build_sidecar_ds``).
+
+    ``num_partitions`` auto-sizes from the triple stream's estimated
+    bytes (tuning.auto_buckets) so per-bucket frames stay bounded at
+    any corpus size."""
     import ray.data as rd
+
+    if num_partitions is None:
+        from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+        num_partitions = auto_buckets(dataset_est_bytes(triples))
 
     side = (
         rd.from_arrow(sidecar_ds) if isinstance(sidecar_ds, pa.Table) else sidecar_ds

@@ -195,7 +195,7 @@ def build_sidecar(triples) -> pa.Table:
     )
 
 
-def build_sidecar_ds(triples, *, merge_buckets: int = 64):
+def build_sidecar_ds(triples, *, merge_buckets: int | None = None):
     """Fully distributed sidecar build → sidecar Dataset (SIDECAR_SCHEMA).
 
     For corpora whose titled/typed-entity count is too large for the
@@ -209,6 +209,15 @@ def build_sidecar_ds(triples, *, merge_buckets: int = 64):
     """
     import ray
     import ray.data as rd
+
+    if merge_buckets is None:
+        from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+        # the sidecar carries only titled/typed entities — far smaller
+        # than the triple stream — so target finer buckets
+        merge_buckets = auto_buckets(
+            dataset_est_bytes(triples) // 4, target_bucket_bytes=16 << 20
+        )
 
     partials = triples.select_columns(["subj", "pred", "obj", "seq"]).map_batches(
         _sidecar_partial, batch_format="pyarrow"

@@ -1,0 +1,133 @@
+"""stages/join.py — bucketed hash join correctness (vs pandas) and the
+round-1 VERDICT "done" criteria: auto-sized widths grow with input,
+and the join-family queries keep only O(dimension) rows on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rdf2smw_ray.stages.join import bucketed_join
+from rdf2smw_ray.tuning import auto_buckets
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _mk(left_n=2000, right_n=300, seed=7):
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame(
+        {
+            # skewed: key 0 is hot, some keys have no right match
+            "k": np.concatenate(
+                [np.zeros(left_n // 4, dtype=np.int64), rng.randint(0, 500, left_n - left_n // 4)]
+            ),
+            "lv": rng.randint(0, 1000, left_n).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.arange(right_n, dtype=np.int64),
+            "rv": rng.randint(0, 1000, right_n).astype(np.int64),
+        }
+    ).drop_duplicates("rk")
+    return left, right
+
+
+def _run(left, right, how, **kw):
+    import ray.data as rd
+
+    out = bucketed_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="k",
+        right_key="rk",
+        how=how,
+        num_buckets=5,
+        **kw,
+    ).to_pandas()
+    return out
+
+
+def _sorted(df, cols):
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_inner_join_matches_pandas():
+    left, right = _mk()
+    got = _run(left, right, "inner", right_cols={"rv": "rv"})
+    want = left.merge(right.rename(columns={"rk": "k"}), on="k", how="inner")
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"])
+    )
+
+
+def test_left_join_matches_pandas():
+    left, right = _mk()
+    got = _run(left, right, "left", right_cols={"rv": "rv"})
+    want = left.merge(right.rename(columns={"rk": "k"}), on="k", how="left")
+    got["rv"] = got["rv"].astype("float64")
+    want["rv"] = want["rv"].astype("float64")
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"])
+    )
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_semi_anti_join_matches_pandas(how):
+    left, right = _mk()
+    in_right = left["k"].isin(set(right["rk"]))
+    want = left[in_right if how == "semi" else ~in_right]
+    got = _run(left, right, how)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["k", "lv"]), _sorted(want, ["k", "lv"])
+    )
+
+
+def test_anti_join_empty_result():
+    left, right = _mk()
+    right_all = pd.DataFrame({"rk": left["k"].unique()})
+    got = _run(left, right_all, "anti")
+    assert len(got) == 0
+
+
+def test_auto_buckets_grows_with_input_and_floors_at_cpus():
+    floor = auto_buckets(0)
+    assert floor >= 1
+    assert auto_buckets(10 << 30) > auto_buckets(1 << 30) >= floor
+    assert auto_buckets(1 << 50) == 4096  # capped
+    # explicit floor override
+    assert auto_buckets(0, min_buckets=7) == 7
+
+
+def test_join_queries_driver_reads_only_dimension_tables(monkeypatch):
+    """The round-1 fix contract: the join-family queries must not pull
+    any data-proportional table (customer/orders/lineitem) onto the
+    driver — only dimension tables (nation/region) may be read there.
+    Worker-side ray.data reads run in separate processes and are not
+    affected by this monkeypatch, so any hit recorded here IS a
+    driver-side read."""
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines import relational, windows
+
+    seen: list[str] = []
+    orig = pq.read_table
+
+    def spy(path, *a, **kw):
+        seen.append(str(path))
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "read_table", spy)
+
+    relational.orders_per_nation(SF_DIR)
+    relational.top_orders_per_nation(SF_DIR)
+    relational.revenue_per_orderpriority(SF_DIR)
+    windows.customers_without_orders(SF_DIR)
+    windows.orders_from_europe(SF_DIR)
+
+    big = [p for p in seen if any(t in p for t in ("customer", "orders", "lineitem"))]
+    assert big == [], f"driver read data-proportional tables: {big}"
+    for p in seen:
+        assert "nation" in p or "region" in p, p
