@@ -118,8 +118,51 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return prod.min(axis=1)
 
 
+_BAND_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def batch_signatures(
+    texts: list, a: np.ndarray, b: np.ndarray, k: int, tok_cache: dict | None = None
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signature matrix for a whole batch in
+    ONE universal-hash product + ``minimum.reduceat`` — identical values
+    to per-doc :func:`minhash_signature` (asserted in tests), without
+    the per-doc Python loop over the permutation matrix."""
+    if tok_cache is None:
+        tok_cache = {}
+    sh_list = [shingle_hashes(t, k, _tok_cache=tok_cache) for t in texts]
+    counts = np.array([len(s) for s in sh_list], dtype=np.int64)
+    n = len(texts)
+    num_perm = len(a)
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nz = counts > 0
+    if nz.any():
+        flat = np.concatenate([s for s in sh_list if len(s)])
+        prod = (flat[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+        offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+        sigs[nz] = np.minimum.reduceat(prod, offsets, axis=1).T
+    return sigs
+
+
+def band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64 band keys: each band's signature segment
+    mixed with a position-salted xor-rotate — one vectorized pass over
+    the whole batch (round-1 fix #9: was bands x docs blake2b calls)."""
+    n, num_perm = sigs.shape
+    rpb = num_perm // bands
+    seg = sigs.reshape(n, bands, rpb)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(rpb):
+        h = seg[:, :, j]
+        rot = np.uint64((j * 11 + 3) % 63 + 1)
+        acc ^= ((h << rot) | (h >> (np.uint64(64) - rot))) * _BAND_MIX
+    return acc
+
+
 class MinHasher:
-    """Actor stage: permutation params built once per actor."""
+    """Actor stage: permutation params built once per actor; signatures
+    and band keys computed batch-at-a-time (no per-doc Python loop in
+    the permutation or banding math)."""
 
     def __init__(self, num_perm=64, bands=16, k=5, id_col="doc_id", text_col="text"):
         assert num_perm % bands == 0
@@ -133,25 +176,18 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Explode each doc into ``bands`` rows (band_id, band_hash, doc_id)."""
-        ids = batch[self.id_col].to_pylist()
+        ids = np.asarray(batch[self.id_col].to_pandas(), dtype=np.int64)
         texts = batch[self.text_col].to_pylist()
-        tok_cache: dict = {}  # shared token-hash cache within the batch
-        out_band, out_hash, out_id = [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(
-                shingle_hashes(t, self.k, _tok_cache=tok_cache), self.a, self.b
-            )
-            for bnd in range(self.bands):
-                seg = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
-                h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
-                out_band.append(bnd)
-                out_hash.append(h)
-                out_id.append(i)
+        sigs = batch_signatures(texts, self.a, self.b, self.k, tok_cache={})
+        bh = band_hashes(sigs, self.bands)
+        n = len(texts)
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
-                "doc_id": pa.array(out_id, pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
             }
         )
 
@@ -164,10 +200,13 @@ def minhash_candidates(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
     """
     from rdf2smw_ray.util import pool
 
+    # batch_size bounds the (num_perm x shingles) product matrix:
+    # 256 docs x ~300 shingles x 64 perms x 8 B ≈ 40 MB per batch
     bands_ds = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow",
+        batch_size=256,
         concurrency=pool(concurrency),
     )
 
@@ -267,7 +306,8 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash_text(text: str) -> int:
-    """64-bit SimHash over whitespace tokens."""
+    """64-bit SimHash over whitespace tokens — scalar reference kernel
+    (tests assert the vectorized batch kernel matches it exactly)."""
     toks = (text or "").split()
     if not toks:
         return 0
@@ -284,9 +324,31 @@ def simhash_text(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    hs = [simhash_text(t) for t in batch["text"].to_pylist()]
+    """Batch-vectorized SimHash (round-1 fix #5): unique tokens hashed
+    once, bit matrix unpacked and ±1-accumulated per doc with
+    ``add.reduceat`` — no per-token Python loop. Values are exactly
+    :func:`simhash_text` per row."""
+    texts = batch["text"].to_pylist()
+    toks_per_doc = [(t or "").split() for t in texts]
+    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    nz = counts > 0
+    if nz.any():
+        flat_tokens = [tok for toks in toks_per_doc for tok in toks]
+        uniq, inv = np.unique(np.array(flat_tokens, dtype=object), return_inverse=True)
+        flat = _hash64_tokens(list(uniq))[inv]
+        shifts = np.arange(64, dtype=np.uint64)
+        signed = (
+            2 * ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int16) - 1
+        )
+        offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+        acc = np.add.reduceat(signed, offsets, axis=0, dtype=np.int64)
+        out[nz] = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
     return pa.table(
-        {"doc_id": batch["doc_id"], "simhash": pa.array(hs, pa.uint64())}
+        {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.uint64())}
     )
 
 

@@ -3,10 +3,14 @@ windows, as-of joins, semi/anti joins.
 
 Ray Data has no event-time watermarks; the batch restatement
 (ray_guide "Streaming-shaped workloads") treats events as an ordered,
-user-partitioned log: ``groupby(user_id).map_groups`` with the group
-sorted by (ts, event_id). The ordering assumption — all of a key's
-events fit one group and are processed in ts order — is the same
-contract a keyed streaming shuffle provides.
+user-partitioned log. The shuffle key is ``hash(user_id) % B`` (B from
+``tuning.auto_buckets``) and the session / as-of kernels run
+VECTORIZED across all users of a bucket — cumsum on break flags, one
+``merge_asof(by=user_id)`` per bucket — not one Python call per user
+(round-1 VERDICT fix #6: ``groupby(user).map_groups`` costs ~ms per
+group; at 10^8 users that dominates). The co-location contract — all
+of a key's events in one group, processed in ts order — is the same
+one a keyed streaming shuffle provides.
 """
 
 from __future__ import annotations
@@ -22,19 +26,41 @@ def _events(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _bucketed_by_user(sf_dir: str, columns: list[str]):
+    """events keyed by hash(user_id) % auto-width — the one shuffle
+    both window operators ride."""
+    from rdf2smw_ray.tuning import auto_buckets, input_bytes
+
+    num_buckets = auto_buckets(input_bytes(f"{sf_dir}/events.parquet"))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(batch["user_id"].to_pandas()), index=False
+        ).to_numpy()
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int32), pa.int32())
+        )
+
+    return _events(sf_dir, columns=columns).map_batches(
+        add_bucket, batch_format="pyarrow"
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Session windows per user (gap-based): a new session starts when
     the time since the previous event exceeds ``gap_minutes``.
     Returns one row per session with count / span / value total."""
-    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        brk = (df["ts"].diff() > gap).astype("int64")
-        df = df.assign(session_id=brk.cumsum())
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        brk = ((df["ts"].diff() > gap) | new_user).astype("int64")
+        df = df.assign(_g=brk.cumsum())
+        # 0-based session index within each user, all-vectorized
+        df["session_id"] = df["_g"] - df.groupby("user_id")["_g"].transform("min")
         g = (
-            df.groupby("session_id", sort=True)
+            df.groupby(["user_id", "session_id"], sort=True)
             .agg(
                 n=("event_id", "size"),
                 s_start=("ts", "min"),
@@ -43,13 +69,18 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             )
             .reset_index()
         )
-        g.insert(0, "user_id", df["user_id"].iat[0])
         g["total"] = g["total"].round(2)
         g["s_start"] = g["s_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
         g["s_end"] = g["s_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        g = g.drop(columns=["__bucket"], errors="ignore")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "value"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     out["user_id"] = out["user_id"].astype("int64")
     out["session_id"] = out["session_id"].astype("int64")
     out["n"] = out["n"].astype("int64")
@@ -78,30 +109,35 @@ FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 
 def asof_click_before_purchase(sf_dir: str) -> pd.DataFrame:
     """As-of join within the events log: for every ``purchase``, the
-    most recent strictly-earlier ``click`` by the same user.
-    ``merge_asof`` per user group (sorted) — the per-bucket as-of
-    pattern from the ray_guide."""
-    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type", "value"])
+    most recent strictly-earlier ``click`` by the same user. ONE
+    ``merge_asof(..., by="user_id")`` per bucket covers every user in
+    it — vectorized C kernel, no per-user Python call."""
 
-    def per_user(df: pd.DataFrame) -> pa.Table:
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        # merge_asof requires a global ts sort; (ts, event_id) makes
+        # the equal-ts winner the max event_id (merge_asof picks the
+        # last matching row) — same tie-break as the SQL oracle.
         df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        buys = df[df["event_type"] == "purchase"]
-        clicks = df[df["event_type"] == "click"]
+        buys = df.loc[df["event_type"] == "purchase", ["ts", "event_id", "user_id"]]
+        clicks = df.loc[df["event_type"] == "click", ["ts", "event_id", "user_id"]].rename(
+            columns={"event_id": "click_id"}
+        )
         if buys.empty:
             return pa.table(
                 {
                     "user_id": pa.array([], pa.int64()),
                     "purchase_id": pa.array([], pa.int64()),
-                    "click_id": pa.array([], pa.int64()),
+                    "click_id": pa.array([], pa.float64()),
                 }
             )
         if clicks.empty:
             joined = buys.assign(click_id=np.nan)
         else:
             joined = pd.merge_asof(
-                buys[["ts", "event_id", "user_id"]],
-                clicks[["ts", "event_id"]].rename(columns={"event_id": "click_id"}),
+                buys,
+                clicks,
                 on="ts",
+                by="user_id",
                 direction="backward",
                 allow_exact_matches=False,
             )
@@ -114,7 +150,12 @@ def asof_click_before_purchase(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     out["click_id"] = out["click_id"].fillna(-1).astype("int64")
     return out.sort_values(["user_id", "purchase_id"]).reset_index(drop=True)
 

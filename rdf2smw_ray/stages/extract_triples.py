@@ -143,7 +143,9 @@ class PatternTripleExtractor:
         ]
 
     def extract_page(self, url: str, text: str) -> list[tuple]:
-        """All statements of one page, in sentence order."""
+        """Scalar reference kernel: all statements of one page, in
+        sentence order (tests assert the vectorized batch path matches
+        it exactly, seq included)."""
         out = []
         base = url_seq_base(url)
         idx = 0
@@ -160,26 +162,131 @@ class PatternTripleExtractor:
                     break
         return out
 
+    # statements emitted per rule hit, in rule order (mirrors handlers)
+    _STMTS_PER_RULE = (3, 1, 2, 1, 1, 1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
-            rows.extend(self.extract_page(url, text or ""))
-        if not rows:
+        """Vectorized batch path (round-1 fix #8): pages exploded to
+        lines ONCE, one anchored ``str.extract`` per rule over all
+        still-unmatched lines (first-rule-wins), statement seqs from a
+        per-page exclusive cumsum — no per-line Python loop."""
+        import pandas as pd
+
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        if not urls:
             return TRIPLES_SCHEMA.empty_table()
-        return pa.Table.from_pydict(
-            {
-                "subj": [r[0] for r in rows],
-                "pred": [r[1] for r in rows],
-                "obj": [r[2] for r in rows],
-                "obj_is_iri": [r[3] == OBJ_IRI for r in rows],
-                "obj_kind": [r[3] for r in rows],
-                "obj_datatype": [r[4] for r in rows],
-                "obj_lang": ["" for _ in rows],
-                "seq": [r[5] for r in rows],
-                "src": [r[6] for r in rows],
-            },
-            schema=TRIPLES_SCHEMA,
+
+        s = pd.Series(texts, dtype=object).fillna("")
+        ex = s.str.split("\n").explode()
+        lines = pd.DataFrame(
+            {"page": ex.index.to_numpy(dtype=np.int64), "line": ex.str.strip()}
         )
+        lines = lines[lines["line"].astype(bool)].reset_index(drop=True)
+        nl = len(lines)
+        if nl == 0:
+            return TRIPLES_SCHEMA.empty_table()
+
+        rule_id = np.full(nl, -1, dtype=np.int8)
+        g1 = np.empty(nl, dtype=object)
+        g2 = np.empty(nl, dtype=object)
+        for ri, (rx, _h) in enumerate(self.rules):
+            todo = rule_id < 0
+            if not todo.any():
+                break
+            extr = lines.loc[todo, "line"].str.extract(
+                "^" + rx.pattern, expand=True
+            )
+            hit = extr[0].notna()
+            if not hit.any():
+                continue
+            pos = extr.index[hit].to_numpy()
+            rule_id[pos] = ri
+            g1[pos] = extr.loc[hit, 0].to_numpy()
+            g2[pos] = extr.loc[hit, 1].to_numpy()
+
+        nst = np.zeros(nl, dtype=np.int64)
+        matched = rule_id >= 0
+        nst[matched] = np.asarray(self._STMTS_PER_RULE, dtype=np.int64)[
+            rule_id[matched]
+        ]
+        # per-page exclusive cumsum → first seq offset of each line
+        lines["n"] = nst
+        start = lines.groupby("page")["n"].cumsum().to_numpy() - nst
+        bases = np.array([url_seq_base(u) for u in urls], dtype=np.int64)
+        seq0 = bases[lines["page"].to_numpy()] + start
+        url_arr = np.array(urls, dtype=object)[lines["page"].to_numpy()]
+
+        out: list[pa.Table] = []
+
+        def emit(mask, subj, pred, obj, kind, dt, off):
+            n = int(mask.sum())
+            if n == 0:
+                return
+            out.append(
+                pa.Table.from_pydict(
+                    {
+                        "subj": pa.array(subj, pa.string()),
+                        "pred": pa.array(np.full(n, pred, dtype=object), pa.string()),
+                        "obj": pa.array(obj, pa.string()),
+                        "obj_is_iri": pa.array(
+                            np.full(n, kind == OBJ_IRI), pa.bool_()
+                        ),
+                        "obj_kind": pa.array(
+                            np.full(n, kind, dtype=object), pa.string()
+                        ),
+                        "obj_datatype": pa.array(
+                            np.full(n, dt, dtype=object), pa.string()
+                        ),
+                        "obj_lang": pa.array(np.full(n, "", dtype=object), pa.string()),
+                        "seq": pa.array(seq0[mask] + off, pa.int64()),
+                        "src": pa.array(url_arr[mask], pa.string()),
+                    },
+                    schema=TRIPLES_SCHEMA,
+                )
+            )
+
+        def cat(prefix, arr):
+            return pd.Series(arr, dtype=object).radd(prefix).to_numpy()
+
+        m = rule_id == 0  # subclass
+        if m.any():
+            c1, c2 = cat(CLASS_NS, g1[m]), cat(CLASS_NS, g2[m])
+            emit(m, c1, RDFS_SUBCLASS, c2, OBJ_IRI, "", 0)
+            emit(m, c1, RDF_TYPE, np.full(int(m.sum()), OWL_CLASS, dtype=object), OBJ_IRI, "", 1)
+            emit(m, c2, RDF_TYPE, np.full(int(m.sum()), OWL_CLASS, dtype=object), OBJ_IRI, "", 2)
+        m = rule_id == 1  # label
+        if m.any():
+            names = pd.Series(g1[m], dtype=object)
+            ns = np.where(
+                names.str.startswith("Class_").to_numpy(), CLASS_NS, ENTITY_NS
+            )
+            subj = (pd.Series(ns, dtype=object) + names.to_numpy()).to_numpy()
+            emit(m, subj, RDFS_LABEL, g2[m], OBJ_LITERAL, XSD_STRING, 0)
+        m = rule_id == 2  # type
+        if m.any():
+            e1, c2 = cat(ENTITY_NS, g1[m]), cat(CLASS_NS, g2[m])
+            emit(m, e1, RDF_TYPE, c2, OBJ_IRI, "", 0)
+            emit(m, c2, RDF_TYPE, np.full(int(m.sum()), OWL_CLASS, dtype=object), OBJ_IRI, "", 1)
+        for ri, prop in ((3, "works_with"), (4, "refers_to")):
+            m = rule_id == ri
+            if m.any():
+                emit(
+                    m,
+                    cat(ENTITY_NS, g1[m]),
+                    PROP_NS + prop,
+                    cat(ENTITY_NS, g2[m]),
+                    OBJ_IRI,
+                    "",
+                    0,
+                )
+        m = rule_id == 5  # has size
+        if m.any():
+            emit(m, cat(ENTITY_NS, g1[m]), PROP_NS + "has_size", g2[m], OBJ_LITERAL, XSD_INT, 0)
+
+        if not out:
+            return TRIPLES_SCHEMA.empty_table()
+        return pa.concat_tables(out).cast(TRIPLES_SCHEMA)
 
 
 class GazetteerMentionExtractor:
