@@ -232,6 +232,55 @@ def minhash_candidates(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
     return edges.groupby("doc_id").min("dup_of")
 
 
+def _verify_jaccard_edges(edges, docs, *, a_col, b_col, threshold, k):
+    """Distributed candidate verification (round-1 fix #4: this used to
+    materialize edges + texts on the driver): texts are attached to the
+    edge stream via TWO bucketed co-shuffle joins (stages/join.py) and
+    exact shingle Jaccard runs inside map_batches — per-batch shingle
+    sets cached per doc. Nothing driver-side is edge- or
+    corpus-proportional."""
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import dataset_est_bytes
+
+    est = dataset_est_bytes(docs)
+    texts = docs.select_columns(["doc_id", "text"])
+    with_a = bucketed_join(
+        edges, texts, key=a_col, right_key="doc_id",
+        right_cols={"text": "__text_a"}, how="inner", est_bytes=est,
+    )
+    with_ab = bucketed_join(
+        with_a, texts, key=b_col, right_key="doc_id",
+        right_cols={"text": "__text_b"}, how="inner", est_bytes=est,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tok_cache: dict = {}
+        sets: dict = {}
+
+        def sset(doc, text):
+            s = sets.get(doc)
+            if s is None:
+                s = set(shingle_hashes(text or "", k, _tok_cache=tok_cache).tolist())
+                sets[doc] = s
+            return s
+
+        keep = np.fromiter(
+            (
+                _jaccard_sets(sset(a, ta), sset(b, tb)) >= threshold
+                for a, b, ta, tb in zip(
+                    df[a_col], df[b_col], df["__text_a"], df["__text_b"]
+                )
+            ),
+            dtype=bool,
+            count=len(df),
+        )
+        out = df.loc[keep, [c for c in df.columns if not c.startswith("__text")]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_dedup(
     docs,
     *,
@@ -246,50 +295,83 @@ def minhash_dedup(
 
     ``verify_threshold``: when set, candidate edges are verified with
     exact shingle Jaccard (ray_guide: "candidate pairs → verify
-    Jaccard"): the candidate texts (a small fraction of the corpus)
-    are fetched via a broadcast id-set filter and pairs below the
-    threshold are dropped.
+    Jaccard") — fully distributed via :func:`_verify_jaccard_edges`.
     """
     edges = minhash_candidates(
         docs, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency
     )
     if verify_threshold is None:
         return edges
-    edges_df = edges.to_pandas()
-    if "doc_id" not in edges_df.columns or edges_df.empty:
-        return edges
-    dup_col = next(c for c in edges_df.columns if "dup_of" in c)
-    cand_ids = set(edges_df["doc_id"]) | set(edges_df[dup_col])
 
-    import ray
+    def norm(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in batch.column_names:
+            cols["dup_of" if "dup_of" in c else c] = batch[c]
+        return pa.table(cols)
 
-    ref = ray.put(cand_ids)
-
-    def only_candidates(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ref)
-        mask = pa.array([i in ids for i in batch["doc_id"].to_pylist()])
-        return batch.filter(mask)
-
-    texts_df = (
-        docs.map_batches(only_candidates, batch_format="pyarrow")
-        .select_columns(["doc_id", "text"])
-        .to_pandas()
+    edges = edges.map_batches(norm, batch_format="pyarrow")
+    return _verify_jaccard_edges(
+        edges, docs, a_col="doc_id", b_col="dup_of",
+        threshold=verify_threshold, k=k,
     )
-    text_by_id = dict(zip(texts_df["doc_id"], texts_df["text"]))
-    keep = [
-        jaccard(text_by_id.get(a, ""), text_by_id.get(b, ""), k) >= verify_threshold
-        for a, b in zip(edges_df["doc_id"], edges_df[dup_col])
-    ]
-    out = edges_df[pd.Series(keep, index=edges_df.index)]
-    import ray.data as rd
 
-    if out.empty:
-        return rd.from_arrow(
-            pa.table(
-                {"doc_id": pa.array([], pa.int64()), dup_col: pa.array([], pa.int64())}
+
+def lsh_all_bucket_pairs(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
+    """ALL distinct in-bucket candidate pairs (doc_a < doc_b) — the
+    classic LSH candidate set (pair generation O(bucket size²),
+    bounded by banding, never corpus²)."""
+    from rdf2smw_ray.util import pool
+
+    bands_ds = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool(concurrency),
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        ids = np.unique(df["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
+        i, j = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"doc_a": pa.array(ids[i], pa.int64()), "doc_b": pa.array(ids[j], pa.int64())}
         )
-    return rd.from_pandas(out.reset_index(drop=True))
+
+    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # distinct (a pair may share several bands)
+    return pairs.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
+
+
+def lsh_jaccard_pairs(docs, *, threshold=0.8, num_perm=64, bands=16, k=5, concurrency=4):
+    """Verified near-duplicate PAIRS: every (doc_a < doc_b) with exact
+    k-shingle Jaccard ≥ threshold, found via LSH candidates + the
+    distributed Jaccard verify. Docs shorter than k tokens are out of
+    scope (their shingle set is degenerate) — the SQL oracle applies
+    the same filter, which makes this operator value-checkable."""
+
+    def long_enough(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        return batch.filter(pa.array((texts.str.count(r"\S+") >= k).to_numpy()))
+
+    eligible = docs.map_batches(long_enough, batch_format="pyarrow")
+    pairs = lsh_all_bucket_pairs(
+        eligible, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency
+    )
+    return _verify_jaccard_edges(
+        pairs, eligible, a_col="doc_a", b_col="doc_b", threshold=threshold, k=k
+    )
+
+
+def _jaccard_sets(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:

@@ -352,6 +352,43 @@ def q_minhash_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Value-checked LSH: verified near-dup pairs must equal the exact
+    all-pairs 5-shingle Jaccard ≥ 0.8 set (DuckDB computes it directly
+    at sf0.01 scale; the Ray path is the scalable LSH + distributed
+    verify)."""
+    from rdf2smw_ray.pipelines.dedup import lsh_jaccard_pairs
+
+    out = lsh_jaccard_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, concurrency=2
+    ).to_pandas()
+    if "doc_a" not in out.columns:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        )
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# the ::DOUBLE division mirrors the Python kernel's len(i)/len(u) so
+# threshold comparisons agree bit-for-bit; w[i:i+4] is a 1-based
+# INCLUSIVE slice in DuckDB → 5 tokens per shingle (k=5)
+JACCARD_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN generate_series(1, len(w)-4)]) AS s
+  FROM toks WHERE len(w) >= 5
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_simhash(sf_dir: str):
     out = simhashes(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
     out["simhash"] = out["simhash"].astype("uint64").astype(str)
@@ -461,6 +498,7 @@ def all_queries():
         # dedup
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         # similarity search
         "ann_topk": q_ann_topk,
@@ -533,6 +571,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         # lang_id, fingerprints, minhash_dedup, simhash, ann_lsh_topk,
         # embedding_near_dup: heuristic / hash-seeded → rows-only
         "exact_dedup": EXACT_DEDUP_SQL,
+        "jaccard_pairs": JACCARD_PAIRS_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
         "median_value_per_event_type": relational.MEDIAN_SQL,
