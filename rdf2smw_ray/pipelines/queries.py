@@ -213,6 +213,121 @@ FROM t GROUP BY subj, pred, obj ORDER BY subj, pred, obj
 """
 
 
+def kg_page_facts(sf_dir: str):
+    """The WHOLE flagship pipeline under a VALUE-checked oracle: web
+    pages → triples → sidecar → resolve → fold, exploded to
+    (title, property, value) fact rows (round-1 VERDICT item #7 —
+    converts kg's back half from rows-only to hash-checked).
+
+    Exclusion (documented, narrow): Entity_0 carries two distinct
+    labels ("The Hub" / "Ent 0 Label"); first-wins resolution between
+    them follows the deterministic blake2b-seq order, which SQL cannot
+    replicate — so the hub's own page and the fact rows whose VALUE is
+    the hub's title (`Refers_to` and the one works-with edge) are
+    excluded on both sides. Everything else — label-vs-local-name
+    title resolution, category titles, literal cleanup, Equivalent URI
+    — is value-compared exactly."""
+    from rdf2smw_ray.pipelines.kg import flagship
+
+    hub_subj = _ENT + "0"
+    hub_titles = {"The Hub", "Ent 0 Label", "Entity_0"}
+
+    out = flagship(sf_dir, concurrency=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        t, p, v = [], [], []
+        for subj, title, facts, cats in zip(
+            df["subj"], df["title"], df["facts"], df["categories"]
+        ):
+            if subj == hub_subj:
+                continue
+            for f in facts:
+                if f["property"] == "Refers_to" or (
+                    f["property"] == "Works_with" and f["value"] in hub_titles
+                ):
+                    continue
+                t.append(title)
+                p.append(f["property"])
+                v.append(f["value"])
+            for c in cats:
+                t.append(title)
+                p.append("Category")
+                v.append(c)
+        return pa.table(
+            {
+                "title": pa.array(t, pa.string()),
+                "property": pa.array(p, pa.string()),
+                "value": pa.array(v, pa.string()),
+            }
+        )
+
+    rows = out["pages"].map_batches(explode, batch_format="pyarrow").to_pandas()
+    return rows.sort_values(["title", "property", "value"]).reset_index(drop=True)
+
+
+# Derives the SAME fact multiset from doc_id arithmetic (valid while
+# doc_id < 1009 keeps e1 injective — true at the correctness-gate
+# scales; the generator and extractor rules are what is under test).
+KG_PAGE_FACTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, (3*doc_id) % 1009 AS e1, (3*doc_id+1) % 1009 AS e2,
+         ((3*doc_id) % 1009) % 8 AS k
+  FROM documents
+), e1set AS (
+  SELECT DISTINCT e1 FROM d
+), labeled_class AS (
+  SELECT DISTINCT k FROM d WHERE doc_id % 20 = 0
+), subclass_c AS (
+  SELECT DISTINCT doc_id % 11 AS c FROM documents WHERE doc_id % 11 <= 6
+), classes AS (
+  SELECT DISTINCT k FROM (
+    SELECT k FROM d
+    UNION ALL SELECT c FROM subclass_c
+    UNION ALL SELECT c + 1 FROM subclass_c
+    UNION ALL SELECT 0
+  )
+), ctitle AS (
+  SELECT k, CASE WHEN k IN (SELECT k FROM labeled_class)
+                 THEN 'Klass ' || k ELSE 'Class_' || k END AS t
+  FROM classes
+), facts AS (
+  -- entity pages (hub e1=0 excluded on both sides)
+  SELECT 'Ent ' || e1 || ' Label' AS title, 'Label' AS property,
+         'Ent ' || e1 || ' Label' AS value FROM d WHERE e1 <> 0
+  UNION ALL
+  SELECT 'Ent ' || e1 || ' Label', 'Works_with',
+         CASE WHEN e2 IN (SELECT e1 FROM e1set)
+              THEN 'Ent ' || e2 || ' Label' ELSE 'Entity_' || e2 END
+  FROM d WHERE e1 <> 0 AND e2 <> 0
+  UNION ALL
+  SELECT 'Ent ' || e1 || ' Label', 'Has_size', CAST(doc_id % 100 AS VARCHAR)
+  FROM d WHERE e1 <> 0
+  UNION ALL
+  SELECT 'Ent ' || e1 || ' Label', 'Equivalent URI',
+         '{_ENT}' || e1 FROM d WHERE e1 <> 0
+  UNION ALL
+  SELECT 'Ent ' || e1 || ' Label', 'Category',
+         (SELECT t FROM ctitle WHERE ctitle.k = d.k) FROM d WHERE e1 <> 0
+  -- class pages
+  UNION ALL
+  SELECT 'Category:' || t, 'Label', 'Klass ' || k FROM ctitle
+  WHERE k IN (SELECT k FROM labeled_class)
+  UNION ALL
+  SELECT 'Category:' || t, 'Equivalent URI', '{_CLS}' || k FROM ctitle
+  UNION ALL
+  SELECT 'Category:' || t, 'Category', 'Class' FROM ctitle
+  UNION ALL
+  SELECT 'Category:' || c1.t, 'Category', c2.t
+  FROM subclass_c
+  JOIN ctitle c1 ON c1.k = subclass_c.c
+  JOIN ctitle c2 ON c2.k = subclass_c.c + 1
+)
+SELECT DISTINCT title, property, value FROM facts
+ORDER BY title, property, value
+"""
+
+
 def kg_pages(sf_dir: str):
     """Full flagship pipeline; scalar page columns (rows-only check —
     nested fact lists and rendering are covered by pytest oracles)."""
@@ -477,6 +592,7 @@ def all_queries():
         "kg_mention_counts": kg_mention_counts,
         "kg_cooccur": kg_cooccur,
         "kg_extracted_triples": kg_extracted_triples,
+        "kg_page_facts": kg_page_facts,
         "kg_pages": kg_pages,
         # relational operator inventory
         "pricing_summary": relational.pricing_summary,
@@ -522,6 +638,7 @@ def all_oracle_sql():
         "kg_mention_counts": KG_MENTION_COUNTS_SQL,
         "kg_cooccur": KG_COOCCUR_SQL,
         "kg_extracted_triples": KG_EXTRACTED_TRIPLES_SQL,
+        "kg_page_facts": KG_PAGE_FACTS_SQL,
         # kg_pages: non-SQL-expressible (full pipeline) → rows-only
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
