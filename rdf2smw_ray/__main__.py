@@ -94,7 +94,10 @@ def main(argv: list[str] | None = None) -> int:
                 else [args.infile]
             )
             res = run_kg_checkpointed(
-                paths, args.checkpoint_dir, use_templates=use_templates
+                paths,
+                args.checkpoint_dir,
+                use_templates=use_templates,
+                timestamp=args.timestamp,
             )
             streams = {
                 "pages": rd.read_parquet(res["pages_dir"]),
@@ -127,10 +130,14 @@ def main(argv: list[str] | None = None) -> int:
             }
 
         # reference naming: out.xml / out_properties.xml / out_templates.xml
+        # (suffix only the FINAL extension — the reference replaces the
+        # first ".xml", which mangles paths like dumps.xml/out.xml;
+        # splitext touches only the basename's extension)
+        base, ext = os.path.splitext(args.outfile)
         names = {
             "pages": args.outfile,
-            "properties": args.outfile.replace(".xml", "_properties.xml"),
-            "templates": args.outfile.replace(".xml", "_templates.xml"),
+            "properties": f"{base}_properties{ext}",
+            "templates": f"{base}_templates{ext}",
         }
         from rdf2smw_ray.stages.render import render_pages
 

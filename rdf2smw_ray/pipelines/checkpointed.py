@@ -46,6 +46,7 @@ def run_kg_checkpointed(
     out_dir: str,
     *,
     use_templates: bool = True,
+    timestamp: str | None = None,
     salt: int = 1,
     concurrency: int | tuple[int, int] = 4,
     write_xml: bool = False,
@@ -61,6 +62,14 @@ def run_kg_checkpointed(
     import ray.data as rd
 
     from rdf2smw_ray.pipelines.rdf2smw import rdf2smw_pipeline
+    from rdf2smw_ray.stages.render import DEFAULT_TIMESTAMP
+
+    if timestamp is None:
+        timestamp = DEFAULT_TIMESTAMP
+    # stage manifests record the timestamp (and template mode): a rerun
+    # with a different --timestamp recomputes instead of resuming
+    # stale XML (ADVICE round-1)
+    stage_params = {"timestamp": timestamp, "use_templates": use_templates}
 
     triples_run = ShardedRun(os.path.join(out_dir, "triples"))
 
@@ -92,7 +101,7 @@ def run_kg_checkpointed(
         for name in stage_names:
             stages.invalidate(name)
 
-    if all(stages.is_done(n) for n in stage_names):
+    if all(stages.is_done(n, stage_params) for n in stage_names):
         # fully resumed: nothing to recompute
         dirs = {n: stages.stage_dir(n) for n in stage_names}
         if write_xml:
@@ -115,6 +124,7 @@ def run_kg_checkpointed(
     result = rdf2smw_pipeline(
         rd.read_parquet(triple_files),
         use_templates=use_templates,
+        timestamp=timestamp,
         salt=salt,
         resolver_concurrency=concurrency,
     )
@@ -139,9 +149,9 @@ def run_kg_checkpointed(
 
         return fn
 
-    pages_dir, _ = stages.stage("pages", _write(result["content"]))
-    props_dir, _ = stages.stage("properties", _write(result["properties"]))
-    tpl_dir, _ = stages.stage("templates", _write(result["templates"]))
+    pages_dir, _ = stages.stage("pages", _write(result["content"]), params=stage_params)
+    props_dir, _ = stages.stage("properties", _write(result["properties"]), params=stage_params)
+    tpl_dir, _ = stages.stage("templates", _write(result["templates"]), params=stage_params)
 
     if write_xml:
         for name, d in (("pages", pages_dir), ("properties", props_dir), ("templates", tpl_dir)):

@@ -1,178 +1,363 @@
-"""Turtle (subset) reader → triples Dataset.
+"""Turtle reader → triples Dataset (full grammar).
 
 The reference wires knakk/rdf's streaming Turtle decoder even though
 its README claims N-Triples support (ttlfilereader.go:53,
-README.md:76-77) — so real users feed it simple Turtle. This module
-parses the commonly used subset:
+README.md:76-77) — so real users feed it real Turtle. This module
+implements the Turtle grammar the knakk/rdf decoder accepts
+(/root/reference/components/ttlfilereader.go:53,
+ttlfilereader_test.go:35-43):
 
-- ``@prefix p: <iri> .`` / SPARQL-style ``PREFIX p: <iri>``
-- prefixed names (``ex:thing``) in any position, ``a`` → rdf:type
+- ``@prefix`` / ``@base`` and SPARQL-style ``PREFIX`` / ``BASE``
+- relative-IRI resolution against the active base (RFC 3986 merge)
+- prefixed names in any position, ``a`` → rdf:type
 - predicate lists (``;``) and object lists (``,``)
-- IRIs, blank nodes, literals with ``^^`` datatype / ``@lang``
+- blank nodes (``_:x``, anonymous ``[]``) and blank-node property
+  lists ``[ p o ; ... ]`` in subject or object position
+- collections ``( ... )`` → rdf:first / rdf:rest / rdf:nil chains
+- literals: short/long, single/double-quoted (``'``, ``"``,
+  ``'''``, ``\"\"\"``), ``^^`` datatypes, ``@lang`` tags, and
+  numeric (integer / decimal / double) + boolean shorthand
 - ``#`` comments, multi-line statements
 
-Not supported (raises ``ValueError`` listed in the manifest instead of
-crashing the job, unlike the reference's log.Fatal): collections
-``( )``, blank-node property lists ``[ ]``, multiline ``\"\"\"``
-literals, ``@base``.
+Malformed input raises ``ValueError`` with a bounded message; the file
+is dead-lettered by ``read_turtle`` (listed, not fatal — unlike the
+reference's log.Fatal).
 
-Parallelism: one Ray task per file (Turtle is stateful via @prefix, so
-a file is the parallel unit — same contract as the reference's one
-decoder per file). ``seq`` = file_index * 2^40 + statement_index.
+Parallelism: one Ray task per file (Turtle is stateful via
+@prefix/@base, so a file is the parallel unit — same contract as the
+reference's one decoder per file). ``seq`` = file_index * 2^40 +
+statement_index.
 """
 
 from __future__ import annotations
 
 import re
+from urllib.parse import urljoin
 
 import pyarrow as pa
 
 from rdf2smw_ray.schemas import OBJ_BLANK, OBJ_IRI, OBJ_LITERAL, TRIPLES_SCHEMA
 from rdf2smw_ray.sources.ntriples import _FILE_SEQ_STRIDE, unescape_literal
 
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
-LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+LANGSTRING = RDF_NS + "langString"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
+XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
+
+# pname locals may contain interior dots but not a trailing one (the
+# trailing dot is the statement terminator)
+_PN_LOCAL = r"(?:[\w\-](?:\.(?=[\w\-.]))?)*"
 
 _TOKEN_RE = re.compile(
     r"""
     (?P<comment>\#[^\n]*)
   | (?P<prefix_kw>@prefix\b|\bPREFIX\b)
-  | (?P<iri><[^>]*>)
-  | (?P<literal>"(?:[^"\\]|\\.)*")
-  | (?P<langtag>@[A-Za-z][A-Za-z0-9\-]*)
+  | (?P<base_kw>@base\b|\bBASE\b)
+  | (?P<iri><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<long_literal>\"\"\"(?:(?:\"|\"\")?(?:[^"\\]|\\.))*\"\"\"
+                    |'''(?:(?:'|'')?(?:[^'\\]|\\.))*''')
+  | (?P<literal>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<dtmark>\^\^)
+  | (?P<lbracket>\[) | (?P<rbracket>\])
+  | (?P<lparen>\() | (?P<rparen>\))
+  | (?P<double>[+-]?(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
+  | (?P<number>[+-]?(?:\d*\.\d+|\d+))
   | (?P<punct>[;,.])
-  | (?P<blank>_:[A-Za-z0-9_]+)
-  | (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]*)
-  | (?P<kw_a>\ba\b)
-  | (?P<number>[+-]?\d+(?:\.\d+)?)
+  | (?P<blank>_:[A-Za-z0-9_][\w\-.]*)
   | (?P<boolean>\btrue\b|\bfalse\b)
+  | (?P<kw_a>\ba(?=[\s<\[(]))
+  | (?P<pname>[A-Za-z_][\w\-.]*:PNLOCAL|:PNLOCAL|[A-Za-z_][\w\-.]*:|:)
   | (?P<ws>\s+)
-""",
+""".replace("PNLOCAL", _PN_LOCAL + r"[\w\-]"),
     re.X,
 )
-
-XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
-XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
-XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
 
 
 def _tokenize(text: str):
     pos = 0
-    while pos < len(text):
+    n = len(text)
+    out = []
+    while pos < n:
         m = _TOKEN_RE.match(text, pos)
         if m is None:
-            raise ValueError(f"turtle: cannot tokenize at offset {pos}: {text[pos:pos+40]!r}")
+            raise ValueError(
+                f"turtle: cannot tokenize at offset {pos}: {text[pos:pos+40]!r}"
+            )
         pos = m.end()
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
-        yield kind, m.group()
+        out.append((kind, m.group()))
+    return out
 
 
-def parse_turtle(text: str, *, src: str = "", seq_base: int = 0) -> pa.Table:
-    """Parse a Turtle document (subset above) into TRIPLES_SCHEMA."""
-    prefixes: dict[str, str] = {}
-    rows: list[tuple] = []
-    seq = seq_base
+_IRI_ESC_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8})")
 
-    toks = list(_tokenize(text))
-    i = 0
-    n = len(toks)
 
-    def expand(kind: str, tok: str):
-        """token → (value, obj_kind, datatype) as a TERM."""
+def _unescape_iri(s: str) -> str:
+    return _IRI_ESC_RE.sub(lambda m: chr(int(m.group(1)[1:], 16)), s)
+
+
+class _Parser:
+    """Recursive-descent Turtle parser over the token list. Every
+    lookahead is bounds-checked: truncated input raises ValueError
+    ('unexpected EOF'), never IndexError (ADVICE round-1 fix)."""
+
+    def __init__(self, toks: list[tuple[str, str]], seq_base: int):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.rows: list[tuple] = []
+        self.seq = seq_base
+        self.gen_blank = 0
+
+    # --- token plumbing ---------------------------------------------------
+    def peek(self):
+        if self.i >= len(self.toks):
+            return (None, None)
+        return self.toks[self.i]
+
+    def next(self):
+        if self.i >= len(self.toks):
+            raise ValueError("turtle: unexpected EOF")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_punct(self, ch: str):
+        kind, tok = self.next()
+        if (kind, tok) != ("punct", ch):
+            raise ValueError(f"turtle: expected {ch!r}, got {tok!r}")
+
+    # --- term helpers -----------------------------------------------------
+    def resolve_iri(self, raw: str) -> str:
+        iri = _unescape_iri(raw)
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            return urljoin(self.base, iri)
+        return iri
+
+    def expand_pname(self, tok: str) -> str:
+        p, _, local = tok.partition(":")
+        if p not in self.prefixes:
+            raise ValueError(f"turtle: undefined prefix {p!r} in {tok!r}")
+        return self.prefixes[p] + local
+
+    def fresh_blank(self) -> str:
+        self.gen_blank += 1
+        return f"_:genb{self.gen_blank}"
+
+    def emit(self, subj, pred, obj, kind, dt="", lang=""):
+        self.rows.append((subj, pred, obj, kind, dt, lang, self.seq))
+        self.seq += 1
+
+    # --- grammar ----------------------------------------------------------
+    def parse(self):
+        while self.i < len(self.toks):
+            kind, _tok = self.peek()
+            if kind == "prefix_kw":
+                self.directive_prefix()
+            elif kind == "base_kw":
+                self.directive_base()
+            else:
+                self.triples()
+        return self.rows
+
+    def directive_prefix(self):
+        _, kw = self.next()
+        kind, tok = self.next()
+        if kind != "pname":
+            raise ValueError(f"turtle: malformed @prefix (got {tok!r})")
+        name = tok[:-1] if tok.endswith(":") else tok.split(":")[0]
+        kind, tok = self.next()
+        if kind != "iri":
+            raise ValueError("turtle: malformed @prefix (missing IRI)")
+        self.prefixes[name] = self.resolve_iri(tok[1:-1])
+        if kw.startswith("@"):
+            self.expect_punct(".")
+        elif self.peek() == ("punct", "."):
+            self.i += 1
+
+    def directive_base(self):
+        _, kw = self.next()
+        kind, tok = self.next()
+        if kind != "iri":
+            raise ValueError("turtle: malformed @base (missing IRI)")
+        self.base = self.resolve_iri(tok[1:-1])
+        if kw.startswith("@"):
+            self.expect_punct(".")
+        elif self.peek() == ("punct", "."):
+            self.i += 1
+
+    def triples(self):
+        kind, tok = self.peek()
+        if kind == "lbracket":
+            subj = self.blank_node_property_list()
+            # a bare "[...] ." with no following predicates is legal
+            if self.peek() == ("punct", "."):
+                self.i += 1
+                return
+        elif kind == "lparen":
+            subj = self.collection()
+        else:
+            self.i += 1
+            subj, skind, _dt = self.simple_term(kind, tok)
+            if skind == OBJ_LITERAL:
+                raise ValueError("turtle: literal subject")
+        self.predicate_object_list(subj)
+        self.expect_punct(".")
+
+    def predicate_object_list(self, subj: str):
+        while True:
+            pred = self.predicate()
+            self.object_list(subj, pred)
+            if self.peek() == ("punct", ";"):
+                self.i += 1
+                # tolerate repeated/trailing ';'
+                while self.peek() == ("punct", ";"):
+                    self.i += 1
+                kind, _ = self.peek()
+                if kind in (None, "punct", "rbracket"):
+                    return
+                continue
+            return
+
+    def predicate(self) -> str:
+        kind, tok = self.next()
+        if kind == "kw_a":
+            return RDF_TYPE
         if kind == "iri":
-            return tok[1:-1], OBJ_IRI, ""
+            return self.resolve_iri(tok[1:-1])
+        if kind == "pname":
+            return self.expand_pname(tok)
+        raise ValueError(f"turtle: predicate must be IRI, got {tok!r}")
+
+    def object_list(self, subj: str, pred: str):
+        while True:
+            self.object(subj, pred)
+            if self.peek() == ("punct", ","):
+                self.i += 1
+                continue
+            return
+
+    def object(self, subj: str, pred: str):
+        kind, tok = self.peek()
+        if kind == "lbracket":
+            node = self.blank_node_property_list()
+            self.emit(subj, pred, node, OBJ_BLANK)
+            return
+        if kind == "lparen":
+            node = self.collection()
+            nkind = OBJ_IRI if node == RDF_NIL else OBJ_BLANK
+            self.emit(subj, pred, node, nkind)
+            return
+        self.i += 1
+        if kind in ("literal", "long_literal"):
+            value = (
+                unescape_literal(tok[3:-3])
+                if kind == "long_literal"
+                else unescape_literal(tok[1:-1])
+            )
+            dt, lang = XSD_STRING, ""
+            nkind, ntok = self.peek()
+            if nkind == "langtag":
+                lang, dt = ntok[1:], LANGSTRING
+                self.i += 1
+            elif nkind == "dtmark":
+                self.i += 1
+                dkind, dtok = self.next()
+                if dkind == "iri":
+                    dt = self.resolve_iri(dtok[1:-1])
+                elif dkind == "pname":
+                    dt = self.expand_pname(dtok)
+                else:
+                    raise ValueError(f"turtle: bad datatype {dtok!r}")
+            self.emit(subj, pred, value, OBJ_LITERAL, dt, lang)
+            return
+        value, vkind, vdt = self.simple_term(kind, tok)
+        self.emit(subj, pred, value, vkind, vdt)
+
+    def simple_term(self, kind, tok):
+        """IRI / pname / blank / numeric / boolean →
+        (value, obj_kind, datatype)."""
+        if kind == "iri":
+            return self.resolve_iri(tok[1:-1]), OBJ_IRI, ""
         if kind == "blank":
             return tok, OBJ_BLANK, ""
         if kind == "kw_a":
             return RDF_TYPE, OBJ_IRI, ""
         if kind == "pname":
-            p, _, local = tok.partition(":")
-            if p not in prefixes:
-                raise ValueError(f"turtle: undefined prefix {p!r} in {tok!r}")
-            return prefixes[p] + local, OBJ_IRI, ""
-        if kind == "number":
-            dt = XSD_DECIMAL if "." in tok else XSD_INTEGER
-            return tok, OBJ_LITERAL, dt
-        if kind == "boolean":
-            return tok, OBJ_LITERAL, XSD_BOOLEAN
+            return self.expand_pname(tok), OBJ_IRI, ""
+        if kind in ("number", "double", "boolean"):
+            return tok, OBJ_LITERAL, self._shorthand_dt(kind, tok)
         raise ValueError(f"turtle: unexpected term {tok!r}")
 
-    while i < n:
-        kind, tok = toks[i]
-        if kind == "prefix_kw":
-            # @prefix name: <iri> .   (trailing '.' optional for PREFIX)
-            if i + 2 >= n or toks[i + 1][0] != "pname" or toks[i + 2][0] != "iri":
-                raise ValueError("turtle: malformed @prefix")
-            pname = toks[i + 1][1]
-            prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = toks[
-                i + 2
-            ][1][1:-1]
-            i += 3
-            if i < n and toks[i] == ("punct", "."):
-                i += 1
-            continue
+    @staticmethod
+    def _shorthand_dt(kind: str, tok: str) -> str:
+        if kind == "boolean":
+            return XSD_BOOLEAN
+        if kind == "double":
+            return XSD_DOUBLE
+        return XSD_DECIMAL if "." in tok else XSD_INTEGER
 
-        # subject
-        subj, subj_kind, _ = expand(kind, tok)
-        if subj_kind == OBJ_LITERAL:
-            raise ValueError("turtle: literal subject")
-        i += 1
-        while True:  # predicate list
-            if i >= n:
-                raise ValueError("turtle: unexpected EOF in statement")
-            pkind, ptok = toks[i]
-            pred, pk, _ = expand(pkind, ptok)
-            if pk != OBJ_IRI:
-                raise ValueError(f"turtle: predicate must be IRI, got {ptok!r}")
-            i += 1
-            while True:  # object list
-                okind, otok = toks[i]
-                if okind == "literal":
-                    value = unescape_literal(otok[1:-1])
-                    dt, lang = XSD_STRING, ""
-                    if i + 1 < n and toks[i + 1][0] == "langtag":
-                        lang, dt = toks[i + 1][1][1:], LANGSTRING
-                        i += 1
-                    elif i + 1 < n and toks[i + 1][0] == "dtmark":
-                        dkind, dtok = toks[i + 2]
-                        dt = expand(dkind, dtok)[0]
-                        i += 2
-                    rows.append((subj, pred, value, OBJ_LITERAL, dt, lang, seq))
-                else:
-                    value, vkind, vdt = expand(okind, otok)
-                    rows.append((subj, pred, value, vkind, vdt, "", seq))
-                seq += 1
-                i += 1
-                if i < n and toks[i] == ("punct", ","):
-                    i += 1
-                    continue
+    def blank_node_property_list(self) -> str:
+        self.next()  # consume '['
+        node = self.fresh_blank()
+        kind, _ = self.peek()
+        if kind != "rbracket":
+            self.predicate_object_list(node)
+        kind, tok = self.next()
+        if kind != "rbracket":
+            raise ValueError(f"turtle: expected ']', got {tok!r}")
+        return node
+
+    def collection(self) -> str:
+        self.next()  # consume '('
+        head = RDF_NIL
+        nodes: list[str] = []
+        while True:
+            kind, tok = self.peek()
+            if kind is None:
+                raise ValueError("turtle: unexpected EOF in collection")
+            if kind == "rparen":
+                self.i += 1
                 break
-            if i < n and toks[i] == ("punct", ";"):
-                i += 1
-                # tolerate trailing ';' before '.'
-                if i < n and toks[i] == ("punct", "."):
-                    i += 1
-                    break
-                continue
-            if i < n and toks[i] == ("punct", "."):
-                i += 1
-            break
+            nodes.append(self.fresh_blank())
+            # emit rdf:first via the normal object path, onto this node
+            self.object(nodes[-1], RDF_FIRST)
+        if nodes:
+            head = nodes[0]
+            for a, b in zip(nodes, nodes[1:] + [None]):
+                if b is None:
+                    self.emit(a, RDF_REST, RDF_NIL, OBJ_IRI)
+                else:
+                    self.emit(a, RDF_REST, b, OBJ_BLANK)
+        return head
+
+
+def parse_turtle(text: str, *, src: str = "", seq_base: int = 0) -> pa.Table:
+    """Parse a Turtle document (grammar above) into TRIPLES_SCHEMA."""
+    out = _Parser(_tokenize(text), seq_base).parse()
 
     return pa.Table.from_pydict(
         {
-            "subj": [r[0] for r in rows],
-            "pred": [r[1] for r in rows],
-            "obj": [r[2] for r in rows],
-            "obj_is_iri": [r[3] == OBJ_IRI for r in rows],
-            "obj_kind": [r[3] for r in rows],
-            "obj_datatype": [r[4] for r in rows],
-            "obj_lang": [r[5] for r in rows],
-            "seq": [r[6] for r in rows],
-            "src": [src for _ in rows],
+            "subj": [r[0] for r in out],
+            "pred": [r[1] for r in out],
+            "obj": [r[2] for r in out],
+            "obj_is_iri": [r[3] == OBJ_IRI for r in out],
+            "obj_kind": [r[3] for r in out],
+            "obj_datatype": [r[4] for r in out],
+            "obj_lang": [r[5] for r in out],
+            "seq": [r[6] for r in out],
+            "src": [src for _ in out],
         },
         schema=TRIPLES_SCHEMA,
     )

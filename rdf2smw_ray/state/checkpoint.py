@@ -79,8 +79,11 @@ class ShardedRun:
 
     @staticmethod
     def shard_id_for(path: str) -> str:
+        # full normalized path, not basename: two shards named
+        # part-0.parquet in different directories must not collide on
+        # one manifest (ADVICE round-1)
         return "shard-" + hashlib.blake2b(
-            os.path.basename(path).encode(), digest_size=6
+            os.path.abspath(path).encode(), digest_size=6
         ).hexdigest()
 
     def _finalize_shard(
@@ -208,28 +211,33 @@ class StageCheckpoint:
     def stage_dir(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
 
-    def is_done(self, name: str) -> bool:
+    def is_done(self, name: str, params: dict | None = None) -> bool:
         mp = os.path.join(self.out_dir, f"{name}.manifest.json")
         try:
-            return json.load(open(mp)).get("status") == "done"
+            m = json.load(open(mp))
         except (OSError, json.JSONDecodeError):
             return False
+        if m.get("status") != "done":
+            return False
+        # a stage cached under different parameters (e.g. --timestamp)
+        # is stale (ADVICE round-1)
+        return params is None or m.get("params", {}) == params
 
     def invalidate(self, name: str) -> None:
         mp = os.path.join(self.out_dir, f"{name}.manifest.json")
         if os.path.exists(mp):
             os.remove(mp)
 
-    def stage(self, name: str, fn: Callable[[str], dict]) -> tuple[str, bool]:
-        """Returns (stage_output_dir, was_skipped)."""
+    def stage(
+        self, name: str, fn: Callable[[str], dict], *, params: dict | None = None
+    ) -> tuple[str, bool]:
+        """Returns (stage_output_dir, was_skipped). ``params`` are
+        recorded in the manifest; a rerun with different params
+        recomputes instead of resuming."""
         mp = os.path.join(self.out_dir, f"{name}.manifest.json")
         sdir = self.stage_dir(name)
-        if os.path.exists(mp):
-            try:
-                if json.load(open(mp)).get("status") == "done":
-                    return sdir, True
-            except (json.JSONDecodeError, OSError):
-                pass
+        if self.is_done(name, params):
+            return sdir, True
         tmp_dir = sdir + ".tmp"
         if os.path.exists(tmp_dir):
             import shutil
@@ -248,6 +256,7 @@ class StageCheckpoint:
             {
                 "status": "done",
                 "wall_sec": round(time.monotonic() - t0, 3),
+                **({"params": params} if params is not None else {}),
                 **(counters or {}),
             },
         )
@@ -287,20 +296,42 @@ def write_xml_parts(rendered_ds, out_dir: str) -> dict:
     )
     pdf = parts.to_pandas()
     if "part" not in pdf.columns:
+        _atomic_write_json(
+            os.path.join(out_dir, "_run.manifest.json"),
+            {"status": "done", "parts": [], "pages": 0},
+        )
         return {"parts": 0, "pages": 0}
+    # run-level manifest: the authoritative part set for THIS run.
+    # Part names are content hashes, so a rerun with different batch
+    # boundaries can leave stale fragments behind — stitch_xml_parts
+    # stitches only the manifest's parts (ADVICE round-1).
+    part_names = sorted(os.path.basename(p) for p in pdf["part"])
+    _atomic_write_json(
+        os.path.join(out_dir, "_run.manifest.json"),
+        {"status": "done", "parts": part_names, "pages": int(pdf["pages"].sum())},
+    )
     return {"parts": len(pdf), "pages": int(pdf["pages"].sum())}
 
 
 def stitch_xml_parts(parts_dir: str, out_path: str) -> int:
-    """Concatenate completed part fragments into one framed dump."""
+    """Concatenate completed part fragments into one framed dump.
+
+    Stitches exactly the parts recorded in the last run's
+    ``_run.manifest.json`` (stale fragments from earlier runs with
+    different batch boundaries are ignored); falls back to every
+    ``*.xmlfrag`` only when no run manifest exists."""
+    run_mp = os.path.join(parts_dir, "_run.manifest.json")
+    try:
+        names = json.load(open(run_mp))["parts"]
+    except (OSError, json.JSONDecodeError, KeyError):
+        names = sorted(f for f in os.listdir(parts_dir) if f.endswith(".xmlfrag"))
     n = 0
     with open(out_path, "w") as out:
         out.write("<mediawiki>\n")
-        for f in sorted(os.listdir(parts_dir)):
-            if f.endswith(".xmlfrag"):
-                with open(os.path.join(parts_dir, f)) as frag:
-                    out.write(frag.read())
-                n += 1
+        for f in names:
+            with open(os.path.join(parts_dir, f)) as frag:
+                out.write(frag.read())
+            n += 1
         out.write("</mediawiki>\n")
     return n
 

@@ -108,6 +108,57 @@ def test_no_templates_checkpointed(tmp_path):
     assert rd.read_parquet(res["templates_dir"]).count() == 0
 
 
+def test_shard_ids_distinguish_directories(tmp_path):
+    """Same basename in different directories must map to different
+    shard manifests (ADVICE round-1)."""
+    from rdf2smw_ray.state.checkpoint import ShardedRun
+
+    a = tmp_path / "a" / "part-0.parquet"
+    b = tmp_path / "b" / "part-0.parquet"
+    assert ShardedRun.shard_id_for(str(a)) != ShardedRun.shard_id_for(str(b))
+
+
+def test_timestamp_change_invalidates_stages(tmp_path):
+    """A rerun with a different --timestamp must recompute the back
+    half, not resume stale XML (ADVICE round-1)."""
+    shards = _make_shards(tmp_path, n_shards=1, docs_per_shard=5)
+    out = str(tmp_path / "out")
+    run_kg_checkpointed(shards, out, concurrency=2, timestamp="2001-01-01T00:00:00Z")
+    res = run_kg_checkpointed(
+        shards, out, concurrency=2, timestamp="2002-02-02T00:00:00Z"
+    )
+    xml = rd.read_parquet(res["pages_dir"]).to_pandas()["xml"].iloc[0]
+    assert "2002-02-02T00:00:00Z" in xml and "2001-01-01" not in xml
+    # unchanged params resume without recompute
+    res2 = run_kg_checkpointed(
+        shards, out, concurrency=2, timestamp="2002-02-02T00:00:00Z"
+    )
+    assert res2["shards"] == {"processed": 0, "skipped": 1}
+
+
+def test_stitch_ignores_stale_fragments(tmp_path):
+    """stitch_xml_parts stitches only the parts of the LAST run's
+    manifest — stale fragments from earlier batch boundaries must not
+    duplicate pages (ADVICE round-1)."""
+    from rdf2smw_ray.state.checkpoint import stitch_xml_parts, write_xml_parts
+
+    parts_dir = str(tmp_path / "parts")
+    os.makedirs(parts_dir)
+    # stale fragment left behind by a hypothetical earlier run
+    stale = os.path.join(parts_dir, "part-deadbeefdeadbeef.xmlfrag")
+    open(stale, "w").write("<page><title>STALE</title></page>\n")
+
+    ds = rd.from_arrow(
+        pa.table({"xml": ["<page><title>A</title></page>\n", "<page><title>B</title></page>\n"]})
+    )
+    write_xml_parts(ds, parts_dir)
+    out = str(tmp_path / "dump.xml")
+    stitch_xml_parts(parts_dir, out)
+    xml = open(out).read()
+    assert "STALE" not in xml
+    assert "<title>A</title>" in xml and "<title>B</title>" in xml
+
+
 def test_xml_dump_framing(tmp_path):
     shards = _make_shards(tmp_path, n_shards=1, docs_per_shard=5)
     out = str(tmp_path / "out")

@@ -78,6 +78,91 @@ def test_turtle_through_pipeline(tmp_path):
     assert "S One" in titles
 
 
+FULL_TTL = """
+@base <http://base.org/dir/> .
+@prefix ex: <http://example.org/> .
+@prefix : <rel/> .
+
+<item1> ex:rel <../up> , <#frag> .
+:local ex:q "short" .
+ex:s ex:list ( 1 2.5 "three" ex:four ) ;
+     ex:props [ ex:a 1 ; ex:b [ ex:c true ] ] ;
+     ex:empty () .
+[ ex:x 1 ] .
+[] ex:y 2 .
+ex:long ex:val \"\"\"multi
+line "quoted" text\"\"\" .
+ex:sq ex:v 'single' , '''long single''' .
+ex:num ex:d 1.5e3 , -2E-2 , .5 , -7 .
+"""
+
+
+def _spo(table):
+    return {(r["subj"], r["pred"], r["obj"]) for r in table.to_pylist()}
+
+
+def test_base_and_relative_iris():
+    t = parse_turtle(FULL_TTL)
+    spo = _spo(t)
+    assert ("http://base.org/dir/item1", "http://example.org/rel", "http://base.org/up") in spo
+    # RFC 3986: a fragment-only reference resolves against the base URI
+    assert ("http://base.org/dir/item1", "http://example.org/rel", "http://base.org/dir/#frag") in spo
+    # relative prefix IRI resolved against base
+    assert ("http://base.org/dir/rel/local", "http://example.org/q", "short") in spo
+
+
+def test_collections_expand_to_first_rest():
+    rows = parse_turtle(FULL_TTL).to_pylist()
+    firsts = [r for r in rows if r["pred"].endswith("#first")]
+    assert [r["obj"] for r in firsts] == ["1", "2.5", "three", "http://example.org/four"]
+    rests = [r for r in rows if r["pred"].endswith("#rest")]
+    assert rests[-1]["obj"].endswith("#nil")
+    # empty collection → rdf:nil directly
+    empty = [r for r in rows if r["pred"].endswith("/empty")]
+    assert empty[0]["obj"].endswith("#nil") and empty[0]["obj_kind"] == "iri"
+
+
+def test_blank_node_property_lists():
+    rows = parse_turtle(FULL_TTL).to_pylist()
+    props = [r for r in rows if r["pred"].endswith("/props")]
+    inner = props[0]["obj"]
+    assert inner.startswith("_:")
+    nested = [r for r in rows if r["subj"] == inner and r["pred"].endswith("/b")]
+    assert nested and nested[0]["obj"].startswith("_:")
+    # bare BNPL subject and anonymous [] subject both emit their triples
+    assert any(r["subj"].startswith("_:") and r["pred"].endswith("/x") for r in rows)
+    assert any(r["subj"].startswith("_:") and r["pred"].endswith("/y") for r in rows)
+
+
+def test_long_and_single_quoted_literals():
+    rows = parse_turtle(FULL_TTL).to_pylist()
+    vals = {r["obj"] for r in rows if r["pred"].endswith("/val")}
+    assert 'multi\nline "quoted" text' in vals
+    vs = {r["obj"] for r in rows if r["pred"].endswith("/v")}
+    assert vs == {"single", "long single"}
+
+
+def test_numeric_shorthand_datatypes():
+    rows = parse_turtle(FULL_TTL).to_pylist()
+    d = {r["obj"]: r["obj_datatype"] for r in rows if r["pred"].endswith("/d")}
+    assert d["1.5e3"].endswith("#double")
+    assert d["-2E-2"].endswith("#double")
+    assert d[".5"].endswith("#decimal")
+    assert d["-7"].endswith("#integer")
+
+
+def test_truncated_input_raises_valueerror_not_indexerror():
+    for frag in [
+        "@prefix ex: <http://e/> . ex:s ex:p",
+        "@prefix ex: <http://e/> . ex:s ex:p \"lit\"^^",
+        "@prefix ex: <http://e/> . ex:s ex:p (",
+        "@prefix ex: <http://e/> . ex:s ex:p [",
+        "@prefix",
+    ]:
+        with pytest.raises(ValueError):
+            parse_turtle(frag)
+
+
 def test_turtle_random_literals_roundtrip():
     """Randomized literal escaping through the Turtle tokenizer."""
     from hypothesis import given, settings

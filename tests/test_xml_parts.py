@@ -18,8 +18,9 @@ def test_xml_parts_and_stitch(tmp_path):
     parts_dir = str(tmp_path / "parts")
     summary = write_xml_parts(res["content"], parts_dir)
     assert summary["pages"] == res["content"].count()
-    manifests = [f for f in os.listdir(parts_dir) if f.endswith(".manifest.json")]
+    manifests = [f for f in os.listdir(parts_dir) if f.endswith(".xmlfrag.manifest.json")]
     assert len(manifests) == summary["parts"] > 0
+    assert os.path.exists(os.path.join(parts_dir, "_run.manifest.json"))
 
     stitched = str(tmp_path / "pages.xml")
     stitch_xml_parts(parts_dir, stitched)
