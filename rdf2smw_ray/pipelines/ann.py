@@ -21,9 +21,25 @@ import pyarrow as pa
 
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix (zero-copy-ish)."""
-    lists = col.to_pylist()
-    return np.asarray(lists, dtype=np.float64)
+    """list<float> column → (n, d) float64 matrix.
+
+    Fixed-width lists reshape from the flat Arrow values buffer — one
+    zero-copy view + one dtype cast, no per-row Python lists (round-1
+    minor fix: ``to_pylist`` copied every element). Ragged rows (never
+    produced by the embeddings table) fall back to the slow path."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        if isinstance(arr, pa.FixedSizeListArray):
+            width = arr.type.list_size
+            # flatten(), not .values: it respects slice offsets
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(-1, width).astype(np.float64, copy=False)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and arr.null_count == 0:
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(-1, int(widths[0])).astype(np.float64, copy=False)
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:

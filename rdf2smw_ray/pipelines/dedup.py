@@ -192,13 +192,18 @@ class MinHasher:
         )
 
 
-def minhash_candidates(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
-    """docs → candidate-pair edges (doc_id, dup_of) with doc_id > dup_of.
-
-    Pairs sharing ANY band bucket. Groups are per (band_id, band_hash),
-    so the pair generation is bounded by bucket size, not corpus size.
-    """
+def _band_rows(docs, *, num_perm, bands, k, concurrency):
+    """docs → (band_id, band_hash, doc_id, __cb) rows, where ``__cb``
+    is a COARSE shuffle key over the band hash. One (band_id,
+    band_hash) LSH bucket has only a handful of rows, and
+    ``groupby(...).map_groups`` costs ~ms of Python per group — at
+    80k buckets that dominated the round-1 wall time. The coarse key
+    keeps the shuffle while the per-bucket logic runs vectorized
+    across ALL buckets of a coarse group."""
+    from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
     from rdf2smw_ray.util import pool
+
+    coarse = auto_buckets(dataset_est_bytes(docs))
 
     # batch_size bounds the (num_perm x shingles) product matrix:
     # 256 docs x ~300 shingles x 64 perms x 8 B ≈ 40 MB per batch
@@ -210,24 +215,57 @@ def minhash_candidates(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
         concurrency=pool(concurrency),
     )
 
-    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
-        ids = sorted(set(df["doc_id"]))
-        if len(ids) < 2:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
-            )
-        root = ids[0]
-        rest = ids[1:]
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        h = batch["band_hash"].to_numpy()
+        cb = ((h ^ (np.uint64(0x9E3779B9) * batch["band_id"].to_numpy().astype(np.uint64))) % np.uint64(coarse)).astype(np.int32)
+        return batch.append_column("__cb", pa.array(cb, pa.int32()))
+
+    return bands_ds.map_batches(add_coarse, batch_format="pyarrow")
+
+
+_EMPTY_EDGES = {
+    "doc_id": pa.array([], pa.int64()),
+    "dup_of": pa.array([], pa.int64()),
+}
+
+
+def minhash_candidates(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
+    """docs → candidate-pair edges (doc_id, dup_of) with doc_id > dup_of.
+
+    Pairs sharing ANY band bucket. Pair generation is bounded by LSH
+    bucket size, and runs vectorized per COARSE shuffle group (one
+    Python call per coarse group, not per bucket).
+    """
+    rows = _band_rows(docs, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency)
+
+    def coarse_pairs(df: pd.DataFrame) -> pa.Table:
+        # root-edges for every (band_id, band_hash) bucket at once:
+        # sort by (bucket, doc_id); each non-first row pairs with its
+        # bucket's first (minimum) doc
+        bid = df["band_id"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        new_bucket = np.concatenate(
+            ([True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1]))
+        )
+        dup_doc = np.concatenate(([False], ids[1:] == ids[:-1])) & ~new_bucket
+        keep = ~dup_doc
+        bid, bh, ids, new_bucket = bid[keep], bh[keep], ids[keep], new_bucket[keep]
+        starts = np.flatnonzero(new_bucket)
+        root_per_row = ids[np.repeat(starts, np.diff(np.append(starts, len(ids))))]
+        rest = ~new_bucket
+        if not rest.any():
+            return pa.table(_EMPTY_EDGES)
         return pa.table(
             {
-                "doc_id": pa.array(rest, pa.int64()),
-                "dup_of": pa.array([root] * len(rest), pa.int64()),
+                "doc_id": pa.array(ids[rest], pa.int64()),
+                "dup_of": pa.array(root_per_row[rest], pa.int64()),
             }
         )
 
-    edges = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    edges = rows.groupby("__cb").map_groups(coarse_pairs, batch_format="pandas")
     # a doc may appear in many buckets → keep its smallest partner
     return edges.groupby("doc_id").min("dup_of")
 
@@ -319,31 +357,42 @@ def minhash_dedup(
 def lsh_all_bucket_pairs(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
     """ALL distinct in-bucket candidate pairs (doc_a < doc_b) — the
     classic LSH candidate set (pair generation O(bucket size²),
-    bounded by banding, never corpus²)."""
-    from rdf2smw_ray.util import pool
+    bounded by banding, never corpus²). Buckets are processed
+    vectorized per coarse shuffle group; only the rare multi-doc
+    buckets pay any per-bucket work."""
+    rows = _band_rows(docs, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency)
 
-    bands_ds = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=pool(concurrency),
-    )
-
-    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
-        ids = np.unique(df["doc_id"].to_numpy())
-        if len(ids) < 2:
+    def coarse_pairs(df: pd.DataFrame) -> pa.Table:
+        bid = df["band_id"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        new_bucket = np.concatenate(
+            ([True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1]))
+        )
+        dup_doc = np.concatenate(([False], ids[1:] == ids[:-1])) & ~new_bucket
+        keep = ~dup_doc
+        ids, new_bucket = ids[keep], new_bucket[keep]
+        starts = np.flatnonzero(new_bucket)
+        counts = np.diff(np.append(starts, len(ids)))
+        out_a, out_b = [], []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            seg = ids[s : s + c]
+            i, j = np.triu_indices(c, k=1)
+            out_a.append(seg[j])
+            out_b.append(seg[i])
+        if not out_a:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
-        i, j = np.triu_indices(len(ids), k=1)
+        a = np.concatenate(out_b)  # smaller id first
+        b = np.concatenate(out_a)
         return pa.table(
-            {"doc_a": pa.array(ids[i], pa.int64()), "doc_b": pa.array(ids[j], pa.int64())}
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
         )
 
-    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = rows.groupby("__cb").map_groups(coarse_pairs, batch_format="pandas")
     # distinct (a pair may share several bands)
     return pairs.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
 
