@@ -164,33 +164,58 @@ def ann_lsh_topk(embeddings, query: np.ndarray, k: int = 10, *, n_planes=8, seed
 
 def embedding_near_dup(embeddings, *, threshold=0.95, n_planes=12, seed=42, concurrency=4):
     """Near-duplicate vector pairs: LSH bucket → verify cosine within
-    bucket → (vec_id, dup_of) with vec_id > dup_of."""
+    bucket → (vec_id, dup_of) with vec_id > dup_of.
+
+    The shuffle key is a COARSE hash of the signature (one Python
+    merge call per coarse group, not one per 2^n_planes signature);
+    within a group, only multi-row signatures pay the O(bucket²)
+    cosine check."""
+    from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+    coarse = auto_buckets(dataset_est_bytes(embeddings))
     bucketed = lsh_buckets(
         embeddings, n_planes=n_planes, seed=seed, concurrency=concurrency
+    ).map_batches(
+        lambda t: t.append_column(
+            "__cb",
+            pa.array(
+                (t["bucket"].to_numpy().astype(np.uint64) % np.uint64(coarse)).astype(
+                    np.int32
+                )
+            ),
+        ),
+        batch_format="pyarrow",
     )
 
     def verify(df: pd.DataFrame) -> pa.Table:
-        if len(df) < 2:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        df = df.sort_values(["bucket", "vec_id"])
+        sig = df["bucket"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], sig[1:] != sig[:-1])))
+        counts = np.diff(np.append(starts, len(sig)))
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            seg = df.iloc[s : s + c]
+            mat = np.asarray(seg["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1e-12
+            unit = mat / norms[:, None]
+            sim = unit @ unit.T
+            ids = seg["vec_id"].to_numpy()
+            i, j = np.triu_indices(int(c), k=1)
+            hit = sim[i, j] >= threshold
+            out_a.append(ids[j[hit]])
+            out_b.append(ids[i[hit]])
+        if not out_a:
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
             )
-        df = df.sort_values("vec_id")
-        mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1e-12
-        unit = mat / norms[:, None]
-        sim = unit @ unit.T
-        ids = df["vec_id"].to_numpy()
-        out_a, out_b = [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sim[i, j] >= threshold:
-                    out_a.append(int(ids[j]))
-                    out_b.append(int(ids[i]))
         return pa.table(
-            {"vec_id": pa.array(out_a, pa.int64()), "dup_of": pa.array(out_b, pa.int64())}
+            {
+                "vec_id": pa.array(np.concatenate(out_a), pa.int64()),
+                "dup_of": pa.array(np.concatenate(out_b), pa.int64()),
+            }
         )
 
-    edges = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    edges = bucketed.groupby("__cb").map_groups(verify, batch_format="pandas")
     return edges.groupby("vec_id").min("dup_of")

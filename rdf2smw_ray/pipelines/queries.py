@@ -360,6 +360,22 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_bpe_token_stats(sf_dir: str):
+    from rdf2smw_ray.pipelines.textstats import bpe_token_stats
+
+    out = bpe_token_stats(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# same regex, escaped for SQL string context ('' for ')
+BPE_SQL_PATTERN = r"''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+BPE_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{BPE_SQL_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_quality(sf_dir: str):
     out = quality_score(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -606,6 +622,7 @@ def all_queries():
         "median_value_per_event_type": relational.median_value_per_event_type,
         # text analysis
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_score": q_quality,
         "normalize_text": q_normalize_text,
         "docs_per_source": q_docs_per_source,
@@ -624,6 +641,7 @@ def all_queries():
         "sessionize": windows.sessionize,
         "asof_click_before_purchase": windows.asof_click_before_purchase,
         "customers_without_orders": windows.customers_without_orders,
+        "customers_without_orders_bloom": windows.customers_without_orders_bloom,
         "orders_from_europe": windows.orders_from_europe,
         # multimodal
         "media_features": q_media_features,
@@ -682,6 +700,7 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         "token_stats": TOKEN_STATS_SQL,
+        "bpe_token_stats": BPE_TOKEN_STATS_SQL,
         "quality_score": QUALITY_SQL,
         "normalize_text": NORMALIZE_SQL,
         "docs_per_source": DOCS_PER_SOURCE_SQL,
@@ -695,6 +714,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,
+        "customers_without_orders_bloom": windows.ANTI_JOIN_SQL,
         "orders_from_europe": windows.SEMI_JOIN_SQL,
         # media_features: fake-codec features → rows-only (pytest golden)
     }

@@ -39,6 +39,28 @@ def token_stats(docs):
     return docs.map_batches(token_stats_batch, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 also
+# supports (no lookahead) so the DuckDB oracle runs the SAME pattern:
+# contractions | space+letters | space+digits | space+other | whitespace runs
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def bpe_token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bpe_tokens — token counting under a BPE-ish
+    pre-tokenizer regex (the whitespace+punct split a trainer's token
+    accounting uses), vectorized via one C-regex count per batch."""
+    texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+    n = texts.str.count(_BPE_RE).astype("int64")
+    return pa.table(
+        {"doc_id": batch["doc_id"], "n_bpe_tokens": pa.array(n, pa.int64())}
+    )
+
+
+def bpe_token_stats(docs):
+    return docs.map_batches(bpe_token_stats_batch, batch_format="pyarrow")
+
+
 def quality_score_batch(batch: pa.Table) -> pa.Table:
     """Quality heuristics: token count, mean token length, stopword
     ratio, punctuation ratio. All rounded to 6 decimals for stable

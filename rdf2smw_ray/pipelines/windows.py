@@ -205,6 +205,30 @@ ORDER BY c_custkey
 """
 
 
+def customers_without_orders_bloom(sf_dir: str) -> pd.DataFrame:
+    """Same anti join via the Bloom-prefilter path (stages/bloom.py):
+    the filter drops definitely-unmatched rows without a shuffle; only
+    maybe-matched rows pay the exact bucketed anti join. The 100-TB
+    shape when the right side is huge but its key set fits m bits."""
+    import ray.data as rd
+
+    from rdf2smw_ray.stages.bloom import bloom_anti_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    out = bloom_anti_join(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        key="c_custkey",
+        right_key="o_custkey",
+        est_bytes=input_bytes(
+            f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet"
+        ),
+    ).to_pandas()
+    if "c_custkey" not in out.columns:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def orders_from_europe(sf_dir: str) -> pd.DataFrame:
     """Semi join: order count + revenue for customers in EUROPE. Only
     the ≤25-row nation-key set is broadcast; the customer table is

@@ -309,17 +309,19 @@ class GazetteerMentionExtractor:
         self.text_column = text_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_column].to_pylist()
-        texts = batch[self.text_column].to_pylist()
-        out_ids, out_terms = [], []
-        for i, t in zip(ids, texts):
-            for m in self.pattern.finditer(t or ""):
-                out_ids.append(i)
-                out_terms.append(m.group(1))
+        """Vectorized: one C-regex ``findall`` per batch; occurrence
+        order per doc is preserved (same as a finditer loop)."""
+        import pandas as pd
+
+        ids = np.asarray(batch[self.id_column].to_pandas())
+        texts = pd.Series(batch[self.text_column].to_pylist(), dtype=object).fillna("")
+        hits = texts.str.findall(self.pattern)
+        counts = hits.map(len).to_numpy()
+        flat = [t for doc_hits in hits for t in doc_hits]
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "term": pa.array(out_terms, pa.string()),
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "term": pa.array(np.array(flat, dtype=object), pa.string()),
             }
         )
 
