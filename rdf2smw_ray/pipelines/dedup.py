@@ -423,6 +423,79 @@ def _jaccard_sets(a: set, b: set) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
+# ---------------------------------------------------------------------------
+# Connected components → dedup clusters
+# ---------------------------------------------------------------------------
+def connected_components(edges_ds, a_col: str, b_col: str, *, max_iters: int = 50):
+    """(node, cluster_id=min reachable node) for every node appearing
+    in the edge list — iterative hash-min label propagation, every step
+    a Dataset op (bucketed join + groupby min), so it scales with the
+    edge count, not the corpus. Converges in O(component diameter)
+    rounds; the fixpoint test is the label SUM (labels only decrease,
+    so an unchanged sum ⟺ converged). Dedup clusters have tiny
+    diameters; ``max_iters`` is a pathological-chain backstop."""
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].combine_chunks()
+        b = batch[b_col].combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def to_label(batch: pa.Table) -> pa.Table:
+        col = next(c for c in batch.column_names if "src" in c or "node" in c)
+        return pa.table({"node": batch[col], "label": batch[col]})
+
+    # initial label: the node itself (distinct src covers every node —
+    # edges are doubled, so every endpoint occurs as src)
+    labels = (
+        edges.groupby("src").count().select_columns(["src"])
+        .map_batches(to_label, batch_format="pyarrow")
+        .materialize()
+    )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = bucketed_join(
+            edges, labels, key="src", right_key="node",
+            right_cols={"label": "label"}, how="inner",
+        )
+        msgs = prop.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        merged = msgs.union(labels).groupby("node").min("label")
+        labels = merged.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"], "label": t[t.column_names[1]]}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def dedup_clusters(docs, *, threshold=0.8, num_perm=64, bands=16, k=5, concurrency=4):
+    """Near-duplicate CLUSTER assignment: every doc in a verified
+    near-dup component labeled with the component's minimum doc_id —
+    the form a dedup pass actually consumes (keep cluster_id == doc_id,
+    drop the rest)."""
+    pairs = lsh_jaccard_pairs(
+        docs, threshold=threshold, num_perm=num_perm, bands=bands, k=k,
+        concurrency=concurrency,
+    )
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact k-shingle Jaccard — the verification kernel for LSH
     candidates."""

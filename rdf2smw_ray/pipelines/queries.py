@@ -520,6 +520,53 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment (LSH pairs → distributed connected
+    components) vs an exact recursive-CTE reachability oracle."""
+    from rdf2smw_ray.pipelines.dedup import dedup_clusters
+
+    out = dedup_clusters(
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, concurrency=2
+    ).to_pandas()
+    if "node" not in out.columns:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "cluster_id": pd.Series([], dtype="int64"),
+            }
+        )
+    out = out.rename(columns={"node": "doc_id", "label": "cluster_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN generate_series(1, len(w)-4)]) AS s
+  FROM toks WHERE len(w) >= 5
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS n FROM edges
+), reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT r.n, e.b AS m FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
     out = simhashes(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
     out["simhash"] = out["simhash"].astype("uint64").astype(str)
@@ -632,6 +679,7 @@ def all_queries():
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         # similarity search
         "ann_topk": q_ann_topk,
@@ -708,6 +756,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         # embedding_near_dup: heuristic / hash-seeded → rows-only
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
+        "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
         "median_value_per_event_type": relational.MEDIAN_SQL,

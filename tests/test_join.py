@@ -101,6 +101,38 @@ def test_auto_buckets_grows_with_input_and_floors_at_cpus():
     assert auto_buckets(0, min_buckets=7) == 7
 
 
+def test_connected_components_chain_clique_pair():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.dedup import connected_components
+
+    # chain 10-11-12-13-14, clique {20,21,22}, pair {30,31}
+    chain = [(10, 11), (11, 12), (12, 13), (13, 14)]
+    clique = [(20, 21), (20, 22), (21, 22)]
+    pair = [(30, 31)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": [a for a, _ in chain + clique + pair],
+                "doc_b": [b for _, b in chain + clique + pair],
+            }
+        )
+    )
+    out = (
+        connected_components(edges, "doc_a", "doc_b")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["node"], out["label"]))
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
 def test_join_queries_driver_reads_only_dimension_tables(monkeypatch):
     """The round-1 fix contract: the join-family queries must not pull
     any data-proportional table (customer/orders/lineitem) onto the
