@@ -277,11 +277,48 @@ def _verify_jaccard_edges(edges, docs, *, a_col, b_col, threshold, k):
     exact shingle Jaccard runs inside map_batches — per-batch shingle
     sets cached per doc. Nothing driver-side is edge- or
     corpus-proportional."""
+    import functools
+
+    import ray
+
+    from rdf2smw_ray.stages.bloom import BloomFilter, build_bloom
     from rdf2smw_ray.stages.join import bucketed_join
     from rdf2smw_ray.tuning import dataset_est_bytes
 
     est = dataset_est_bytes(docs)
     texts = docs.select_columns(["doc_id", "text"])
+
+    # Bloom-prefilter the text stream on the candidate id set: the two
+    # joins below then shuffle ~candidate texts instead of the corpus
+    # (false positives only add a few stray rows to the shuffle).
+    edges = edges.materialize()
+    ids_ds = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        t[a_col].combine_chunks().cast(pa.int64()),
+                        t[b_col].combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    bloom = build_bloom(ids_ds, "doc_id", m_bits=1 << 20)
+    bloom_ref = ray.put(bloom.bits)
+
+    def prefilter(batch: pa.Table, m_bits: int, k: int) -> pa.Table:
+        bf = BloomFilter(m_bits, k, ray.get(bloom_ref))
+        return batch.filter(
+            pa.array(bf.might_contain(pd.Series(batch["doc_id"].to_pandas())))
+        )
+
+    texts = texts.map_batches(
+        functools.partial(prefilter, m_bits=bloom.m, k=bloom.k),
+        batch_format="pyarrow",
+    )
+
     with_a = bucketed_join(
         edges, texts, key=a_col, right_key="doc_id",
         right_cols={"text": "__text_a"}, how="inner", est_bytes=est,
@@ -426,15 +463,60 @@ def _jaccard_sets(a: set, b: set) -> float:
 # ---------------------------------------------------------------------------
 # Connected components → dedup clusters
 # ---------------------------------------------------------------------------
-def connected_components(edges_ds, a_col: str, b_col: str, *, max_iters: int = 50):
+# Below this many edges the component graph is collapsed on the driver
+# (two int64 columns — bounded MBs); above it, the iterative Dataset
+# loop runs. Same auto-threshold philosophy as resolve.py's
+# broadcast-vs-join switch: pay a shuffle only when the data needs it.
+_CC_DRIVER_THRESHOLD = 1_000_000
+
+
+def _driver_union_find(edges: pd.DataFrame) -> pa.Table:
+    """Vectorized min-label propagation over an in-memory edge list."""
+    a = edges.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = edges.iloc[:, 1].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = label.copy()
+        np.minimum.at(new, ia, label[ib])
+        np.minimum.at(new, ib, label[ia])
+        new = new[new]  # pointer-jump one level
+        if np.array_equal(new, label):
+            break
+        label = new
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array(nodes[label], pa.int64()),
+        }
+    )
+
+
+def connected_components(edges_ds, a_col: str, b_col: str, *, max_iters: int = 50,
+                         driver_threshold: int = _CC_DRIVER_THRESHOLD):
     """(node, cluster_id=min reachable node) for every node appearing
-    in the edge list — iterative hash-min label propagation, every step
-    a Dataset op (bucketed join + groupby min), so it scales with the
-    edge count, not the corpus. Converges in O(component diameter)
-    rounds; the fixpoint test is the label SUM (labels only decrease,
-    so an unchanged sum ⟺ converged). Dedup clusters have tiny
-    diameters; ``max_iters`` is a pathological-chain backstop."""
+    in the edge list. Small graphs (≤ ``driver_threshold`` edges —
+    near-dup edge lists are heavily sublinear in corpus size) collapse
+    on the driver with a vectorized union-find; larger graphs run
+    iterative hash-min label propagation where every step is a Dataset
+    op (bucketed join + groupby min), scaling with the edge count.
+    The distributed loop converges in O(component diameter) rounds;
+    the fixpoint test is the label SUM (labels only decrease, so an
+    unchanged sum ⟺ converged)."""
+    import ray.data as rd
+
     from rdf2smw_ray.stages.join import bucketed_join
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+    if n_edges <= driver_threshold:
+        df = edges_ds.select_columns([a_col, b_col]).to_pandas()
+        return rd.from_arrow(_driver_union_find(df))
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch[a_col].combine_chunks()

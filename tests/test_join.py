@@ -101,7 +101,10 @@ def test_auto_buckets_grows_with_input_and_floors_at_cpus():
     assert auto_buckets(0, min_buckets=7) == 7
 
 
-def test_connected_components_chain_clique_pair():
+@pytest.mark.parametrize("driver_threshold", [1_000_000, 0])
+def test_connected_components_chain_clique_pair(driver_threshold):
+    """Both paths: driver union-find (small graphs) and the
+    distributed label-propagation loop (threshold=0 forces it)."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -120,7 +123,7 @@ def test_connected_components_chain_clique_pair():
         )
     )
     out = (
-        connected_components(edges, "doc_a", "doc_b")
+        connected_components(edges, "doc_a", "doc_b", driver_threshold=driver_threshold)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
