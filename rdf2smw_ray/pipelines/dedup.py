@@ -645,3 +645,84 @@ def simhashes(docs):
 def simhash_dedup(docs):
     """Group identical simhashes, keep min doc_id per group."""
     return simhashes(docs).groupby("simhash").min("doc_id")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2.0 has no bit_count ufunc)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_near_dup(docs, *, max_hamming: int = 3, concurrency=4):
+    """Near-duplicate pairs by SimHash hamming distance: the 64-bit
+    signature splits into ``max_hamming + 1`` bit-bands — any pair
+    within the distance bound shares at least one exact band
+    (pigeonhole), so banding has recall 1.0 and verification is just a
+    vectorized xor-popcount inside each candidate bucket. Returns
+    (doc_id, dup_of) with doc_id > dup_of, min partner per doc."""
+    from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+    bands = max_hamming + 1
+    width = 64 // bands
+    coarse = auto_buckets(dataset_est_bytes(docs))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch)
+        sig = t["simhash"].to_numpy()
+        ids = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
+        n = len(sig)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))[None, :]
+        mask = np.uint64((1 << width) - 1)
+        band_bits = ((sig[:, None] >> shifts) & mask).reshape(-1)
+        cb = ((band_bits ^ (np.uint64(0x9E3779B9) * out_band.astype(np.uint64))) % np.uint64(coarse)).astype(np.int32)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_bits": pa.array(band_bits, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "simhash": pa.array(np.repeat(sig, bands), pa.uint64()),
+                "__cb": pa.array(cb, pa.int32()),
+            }
+        )
+
+    rows = docs.map_batches(band_rows, batch_format="pyarrow")
+
+    def coarse_pairs(df: pd.DataFrame) -> pa.Table:
+        bid = df["band_id"].to_numpy()
+        bb = df["band_bits"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        sig = df["simhash"].to_numpy()
+        order = np.lexsort((ids, bb, bid))
+        bid, bb, ids, sig = bid[order], bb[order], ids[order], sig[order]
+        new_bucket = np.concatenate(
+            ([True], (bid[1:] != bid[:-1]) | (bb[1:] != bb[:-1]))
+        )
+        dup_doc = np.concatenate(([False], ids[1:] == ids[:-1])) & ~new_bucket
+        keep = ~dup_doc
+        ids, sig, new_bucket = ids[keep], sig[keep], new_bucket[keep]
+        starts = np.flatnonzero(new_bucket)
+        counts = np.diff(np.append(starts, len(ids)))
+        out_a, out_b = [], []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            seg_ids, seg_sig = ids[s : s + c], sig[s : s + c]
+            i, j = np.triu_indices(int(c), k=1)
+            ham = _popcount64(seg_sig[i] ^ seg_sig[j])
+            hit = ham <= max_hamming
+            out_a.append(seg_ids[j[hit]])
+            out_b.append(seg_ids[i[hit]])
+        if not out_a:
+            return pa.table(_EMPTY_EDGES)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_a), pa.int64()),
+                "dup_of": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    edges = rows.groupby("__cb").map_groups(coarse_pairs, batch_format="pandas")
+    return edges.groupby("doc_id").min("dup_of")

@@ -622,6 +622,40 @@ def q_embedding_near_dup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_simhash_near_dup(sf_dir: str):
+    """SimHash hamming-distance near-dup pairs (banded, recall 1.0 by
+    pigeonhole; rows-only — blake2b signatures are not SQL-derivable,
+    recall/precision pytest-asserted vs brute force)."""
+    from rdf2smw_ray.pipelines.dedup import simhash_near_dup
+
+    out = simhash_near_dup(
+        _docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3
+    ).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
+        )
+    agg = next(c for c in out.columns if "dup_of" in c)
+    out = out.rename(columns={agg: "dup_of"})
+    out["dup_of"] = out["dup_of"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_value_quantiles(sf_dir: str):
+    """Approximate event-value quantiles from the mergeable histogram
+    sketch (rows-only — approximate by design; accuracy
+    pytest-asserted vs exact)."""
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import approx_quantiles
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    vals = approx_quantiles(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]), "value", qs
+    )
+    return pd.DataFrame({"q": qs, "value": [round(v, 4) for v in vals]})
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate distinct users over events (rows-only check —
     approximate by design; accuracy is pytest-asserted vs exact)."""
@@ -681,6 +715,7 @@ def all_queries():
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh,
@@ -695,6 +730,7 @@ def all_queries():
         "media_features": q_media_features,
         # sketches
         "approx_distinct_users": q_approx_distinct_users,
+        "value_quantiles": q_value_quantiles,
     }
 
 

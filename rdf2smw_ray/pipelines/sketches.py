@@ -93,3 +93,77 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
         for s in b["sketch"].to_pylist():
             merged.merge(HLL.deserialize(s))
     return merged.estimate()
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles — mergeable fixed-width histogram sketch.
+# Two cheap passes: (1) global min/max (tiny aggregate), (2) per-batch
+# histogram partials summed by Ray's native aggregate. Quantiles come
+# from the cumulative histogram with linear interpolation; error is
+# bounded by one bin width of the value range (range/num_bins).
+# ---------------------------------------------------------------------------
+def approx_quantiles(
+    ds, column: str, qs: list[float], *, num_bins: int = 4096
+) -> list[float]:
+    """Approximate quantiles of ``column`` at probabilities ``qs``.
+
+    Scale shape: each batch contributes one `num_bins` count vector
+    (vectorized ``np.bincount``); partials tree-merge by addition; the
+    driver holds only two histograms' worth of state. No sort, no
+    shuffle of the data itself."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import AggregateFn
+
+    proj = ds.select_columns([column])
+
+    def minmax_block(state, block):
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        lo = pc.min(t[column]).as_py()
+        hi = pc.max(t[column]).as_py()
+        if lo is None:
+            return state
+        return (min(state[0], lo), max(state[1], hi), state[2] + t.num_rows)
+
+    mm = proj.aggregate(
+        AggregateFn(
+            init=lambda _k: (float("inf"), float("-inf"), 0),
+            merge=lambda a, b: (min(a[0], b[0]), max(a[1], b[1]), a[2] + b[2]),
+            accumulate_block=minmax_block,
+            name="minmax",
+        )
+    )["minmax"]
+    lo, hi, n = mm
+    if n == 0:
+        return [float("nan")] * len(qs)
+    if hi == lo:
+        return [float(lo)] * len(qs)
+    width = (hi - lo) / num_bins
+
+    def hist_block(state, block):
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        v = np.asarray(t[column].to_pandas(), dtype=np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, num_bins - 1)
+        return state + np.bincount(idx, minlength=num_bins)
+
+    hist = proj.aggregate(
+        AggregateFn(
+            init=lambda _k: np.zeros(num_bins, dtype=np.int64),
+            merge=lambda a, b: a + b,
+            accumulate_block=hist_block,
+            name="hist",
+        )
+    )["hist"]
+
+    cum = np.cumsum(hist)
+    out = []
+    for q in qs:
+        target = q * n
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = min(b, num_bins - 1)
+        prev = cum[b - 1] if b > 0 else 0
+        inbin = hist[b]
+        frac = (target - prev) / inbin if inbin > 0 else 0.0
+        out.append(float(lo + (b + min(max(frac, 0.0), 1.0)) * width))
+    return out

@@ -49,3 +49,33 @@ def test_approx_distinct_on_events():
         "select count(distinct user_id) from read_parquet('/root/testdata/sf0.001/events.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.1
+
+
+def test_approx_quantiles_accuracy():
+    import numpy as np
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import approx_quantiles
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["value"])
+    vals = ds.to_pandas()["value"].to_numpy()
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = approx_quantiles(ds, "value", qs, num_bins=4096)
+    want = np.quantile(vals, qs)
+    tol = 2 * (vals.max() - vals.min()) / 4096
+    for g, w in zip(got, want):
+        assert abs(g - w) <= tol, (g, w, tol)
+
+
+def test_approx_quantiles_degenerate():
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import approx_quantiles
+
+    const = rd.from_arrow(pa.table({"v": [7.0] * 100}))
+    assert approx_quantiles(const, "v", [0.5]) == [7.0]
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert math.isnan(approx_quantiles(empty, "v", [0.5])[0])

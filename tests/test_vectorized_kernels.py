@@ -111,3 +111,32 @@ def test_band_hashes_discriminate():
     b2 = band_hashes(s2, 16)
     assert np.array_equal(b2[0], b2[1])
     assert not np.array_equal(b2[0], b2[2])
+
+
+def test_simhash_near_dup_matches_bruteforce():
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.dedup import _popcount64, simhash_near_dup, simhash_text
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).split()
+    texts = []
+    for i in range(30):
+        toks = list(base)
+        for j in range(i % 4):  # 0-3 token perturbations
+            toks[(7 * i + j) % len(toks)] = f"mut{i}_{j}"
+        texts.append(" ".join(toks))
+    texts += ["completely different content about engines " * 5] * 2
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+
+    got_df = simhash_near_dup(docs, max_hamming=3).to_pandas()
+    dup_col = next(c for c in got_df.columns if "dup_of" in c)
+    got = {(int(a), int(b)) for a, b in zip(got_df["doc_id"], got_df[dup_col])}
+
+    sigs = np.array([simhash_text(t) for t in texts], dtype=np.uint64)
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i):
+            if int(_popcount64(np.array([sigs[i] ^ sigs[j]], dtype=np.uint64))[0]) <= 3:
+                want.setdefault(i, j)  # min partner (j ascending)
+    want_pairs = set(want.items())
+    assert got == want_pairs
