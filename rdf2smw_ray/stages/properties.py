@@ -30,26 +30,13 @@ from rdf2smw_ray.schemas import PAGES_SCHEMA, URITYPE_PREDICATE
 def _kind_partial(batch: pa.Table) -> pa.Table:
     """Per-batch partial: min seq per (pred_title, has_type) incl. the
     has_type="" row that guarantees the property page exists at all
-    (predPageIndex entry is created for EVERY predicate — :98-100)."""
-    df = batch.to_pandas()
-    if df.empty:
-        return pa.table(
-            {"pred_title": pa.array([], pa.string()), "property": pa.array([], pa.string()),
-             "has_type": pa.array([], pa.string()), "seq": pa.array([], pa.int64())}
-        )
-    g = (
-        df.groupby(["pred_title", "property", "has_type"], sort=False)["seq"]
-        .min()
-        .reset_index()
+    (predPageIndex entry is created for EVERY predicate — :98-100).
+    Pure-Arrow group_by: no pandas conversion on this full-stream
+    scan."""
+    g = batch.group_by(["pred_title", "property", "has_type"]).aggregate(
+        [("seq", "min")]
     )
-    return pa.table(
-        {
-            "pred_title": pa.array(g["pred_title"], pa.string()),
-            "property": pa.array(g["property"], pa.string()),
-            "has_type": pa.array(g["has_type"], pa.string()),
-            "seq": pa.array(g["seq"], pa.int64()),
-        }
-    )
+    return g.rename_columns(["pred_title", "property", "has_type", "seq"])
 
 
 def build_property_pages(resolved, pages) -> pa.Table:

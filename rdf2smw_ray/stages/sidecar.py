@@ -71,9 +71,21 @@ _PARTIAL_SCHEMA = pa.schema(
 )
 
 
+_INTERESTING_PREDS = pa.array(
+    sorted({*TITLE_PROPERTIES, TYPE_PROPERTY_URI, *CATEGORY_PREDICATES})
+)
+
+
 def _sidecar_partial(batch: pa.Table) -> pa.Table:
     """Single-pass per-batch partial: best title candidate + earliest
-    classifying type triple per subject, plus distinct class edges."""
+    classifying type triple per subject, plus distinct class edges.
+
+    The Arrow-level predicate filter runs BEFORE the pandas
+    conversion — only title/type/subclass rows (a fraction of the
+    stream) ever pay the conversion."""
+    batch = batch.filter(pc.is_in(batch["pred"], value_set=_INTERESTING_PREDS))
+    if batch.num_rows == 0:
+        return _PARTIAL_SCHEMA.empty_table()
     df = batch.to_pandas()
     parts = []
 

@@ -29,14 +29,16 @@ def configure_context(
 
 
 def _default_min_buckets() -> int:
+    # 2x the CPU count: reduce tasks run in ≥2 waves, which load-
+    # balances skewed buckets without meaningful fixed overhead
     try:
         import ray
 
         if ray.is_initialized():
-            return max(1, int(ray.cluster_resources().get("CPU", 1)))
+            return max(2, 2 * int(ray.cluster_resources().get("CPU", 1)))
     except Exception:
         pass
-    return max(1, os.cpu_count() or 1)
+    return max(2, 2 * (os.cpu_count() or 1))
 
 
 # Parquet is compressed; a file byte typically inflates ~4x in Arrow
@@ -92,6 +94,15 @@ def dataset_est_bytes(ds) -> int:
         files = ds.input_files()
         if files:
             return input_bytes(*files)
+    except Exception:
+        pass
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            # metadata lookup, no execution; object-store bytes ≈ 4x
+            # file bytes, so scale down to the file-byte convention
+            return int((ds.size_bytes() or 0) // 4)
     except Exception:
         pass
     return 0
