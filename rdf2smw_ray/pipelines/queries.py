@@ -449,6 +449,39 @@ def q_lang_id(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _lang_id_sql() -> str:
+    """DuckDB restatement of LangId: same profile regexes (RE2-safe),
+    argmax with first-wins tie-break = ordered CASE chain."""
+    from rdf2smw_ray.pipelines.textstats import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)  # dict order == np.argmax tie-break order
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(text, '\\b({'|'.join(words)})\\b')) AS {lang}"
+        for lang, words in LANG_PROFILES.items()
+    )
+    all_zero = " AND ".join(f"{lang} = 0" for lang in langs)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        geq = " AND ".join(f"{lang} >= {other}" for other in langs[i + 1 :])
+        cases.append(f"WHEN {geq} THEN '{lang}'")
+    case_chain = "\n              ".join(cases)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {counts}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {all_zero} THEN 'und'
+            {case_chain}
+            ELSE '{langs[-1]}' END AS lang_pred
+FROM c ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 def q_fingerprints(sf_dir: str):
     out = fingerprints(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -701,6 +734,7 @@ def all_queries():
         "revenue_per_orderpriority": relational.revenue_per_orderpriority,
         "top_orders_per_nation": relational.top_orders_per_nation,
         "median_value_per_event_type": relational.median_value_per_event_type,
+        "orders_price_tiers": relational.orders_price_tiers,
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -723,6 +757,7 @@ def all_queries():
         # stream-shaped / join variants
         "sessionize": windows.sessionize,
         "asof_click_before_purchase": windows.asof_click_before_purchase,
+        "clicks_before_purchase_window": windows.clicks_before_purchase_window,
         "customers_without_orders": windows.customers_without_orders,
         "customers_without_orders_bloom": windows.customers_without_orders_bloom,
         "orders_from_europe": windows.orders_from_europe,
@@ -788,16 +823,20 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "quality_score": QUALITY_SQL,
         "normalize_text": NORMALIZE_SQL,
         "docs_per_source": DOCS_PER_SOURCE_SQL,
-        # lang_id, fingerprints, minhash_dedup, simhash, ann_lsh_topk,
-        # embedding_near_dup: heuristic / hash-seeded → rows-only
+        "lang_id": LANG_ID_SQL,
+        # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,
+        # embedding_near_dup: blake2b/seeded-plane-derived → rows-only;
+        # value_quantiles, approx_distinct_users: approximate by design
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
         "median_value_per_event_type": relational.MEDIAN_SQL,
+        "orders_price_tiers": relational.PRICE_TIERS_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
+        "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,
         "customers_without_orders_bloom": windows.ANTI_JOIN_SQL,
         "orders_from_europe": windows.SEMI_JOIN_SQL,

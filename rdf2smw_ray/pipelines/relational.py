@@ -333,6 +333,62 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Range join: orders ⋈ price-tier intervals. The tier table is tiny →
+# broadcast as sorted bin edges; the per-batch "join" is one
+# np.searchsorted (the banded-range-join pattern: big side streams,
+# range side is bins). A big-big interval join would instead co-shuffle
+# on overlapping range buckets — same machinery as stages/join.py.
+# ---------------------------------------------------------------------------
+PRICE_TIERS: list[tuple[str, float, float]] = [
+    ("T1_low", 0.0, 100_000.0),
+    ("T2_mid", 100_000.0, 200_000.0),
+    ("T3_high", 200_000.0, 300_000.0),
+    ("T4_top", 300_000.0, 1e15),
+]
+
+
+def orders_price_tiers(sf_dir: str) -> pd.DataFrame:
+    edges = np.array([lo for _, lo, _ in PRICE_TIERS])
+    names = np.array([t for t, _, _ in PRICE_TIERS], dtype=object)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        idx = np.searchsorted(edges, df["o_totalprice"].to_numpy(), side="right") - 1
+        df["tier"] = names[np.clip(idx, 0, len(names) - 1)]
+        g = (
+            df.groupby("tier", sort=False)
+            .agg(n=("o_totalprice", "size"), total=("o_totalprice", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tier")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total"] = out["total"].round(2)
+    return out.sort_values("tier").reset_index(drop=True)
+
+
+PRICE_TIERS_SQL = """
+WITH tiers(tier, lo, hi) AS (VALUES
+  ('T1_low', 0.0, 100000.0),
+  ('T2_mid', 100000.0, 200000.0),
+  ('T3_high', 200000.0, 300000.0),
+  ('T4_top', 300000.0, 1e15))
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier ORDER BY tier
+"""
+
+
+# ---------------------------------------------------------------------------
 # Large-side hash join demo (both sides big): lineitem ⋈ orders on orderkey
 # ---------------------------------------------------------------------------
 def revenue_per_orderpriority(

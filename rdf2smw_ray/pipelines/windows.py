@@ -160,6 +160,61 @@ def asof_click_before_purchase(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "purchase_id"]).reset_index(drop=True)
 
 
+def clicks_before_purchase_window(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
+    """Windowed interval aggregate: for every purchase, the number of
+    clicks by the same user strictly inside (ts - window, ts). Per
+    bucket, ONE pair of ``np.searchsorted`` calls over a composite
+    (user, ts) key covers every user at once — no per-user or per-row
+    Python."""
+    window_ns = np.int64(window_minutes * 60 * 1_000_000_000)
+    # composite key: dense user code * SPAN + relative ts. SPAN leaves
+    # the full ts range per user, so windows never cross users.
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # normalize to ns regardless of the parquet timestamp unit
+        ts = df["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+        t0 = ts.min() if len(ts) else 0
+        rel = ts - t0
+        codes, _ = pd.factorize(df["user_id"], sort=False)
+        span = np.int64(rel.max() + window_ns + 2) if len(rel) else np.int64(1)
+        key = codes.astype(np.int64) * span + rel
+        is_buy = (df["event_type"] == "purchase").to_numpy()
+        is_click = (df["event_type"] == "click").to_numpy()
+        click_keys = key[is_click]
+        buy_keys = key[is_buy]
+        lo = np.searchsorted(click_keys, buy_keys - window_ns, side="right")
+        hi = np.searchsorted(click_keys, buy_keys, side="left")
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy()[is_buy],
+                "purchase_id": df["event_id"].to_numpy()[is_buy],
+                "n_clicks": (hi - lo).astype("int64"),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["purchase_id"] = out["purchase_id"].astype("int64")
+    return out.sort_values(["user_id", "purchase_id"]).reset_index(drop=True)
+
+
+WINDOW_COUNT_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       CAST((SELECT COUNT(*) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts < p.ts AND c.ts > p.ts - INTERVAL 60 MINUTE) AS BIGINT) AS n_clicks
+FROM events p WHERE p.event_type = 'purchase'
+ORDER BY p.user_id, purchase_id
+"""
+
+
 ASOF_SQL = """
 SELECT p.user_id,
        p.event_id AS purchase_id,
