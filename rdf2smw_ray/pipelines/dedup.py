@@ -566,6 +566,52 @@ def connected_components(edges_ds, a_col: str, b_col: str, *, max_iters: int = 5
     return labels
 
 
+def dedup_keep_best(docs, *, threshold=0.8, num_perm=64, bands=16, k=5, concurrency=4):
+    """The operator a dedup pass actually ends with: per near-dup
+    cluster, keep the BEST representative (here: most tokens,
+    doc_id tie-break) — cluster assignment joined with per-doc stats,
+    then a keyed argmax (per-batch local argmax combiner → single
+    tiny final reduce). Returns (cluster_id, kept_doc_id, n_tokens)."""
+    from rdf2smw_ray.pipelines.textstats import token_stats
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    clusters = dedup_clusters(
+        docs, threshold=threshold, num_perm=num_perm, bands=bands, k=k,
+        concurrency=concurrency,
+    )
+    stats = token_stats(docs)
+    joined = bucketed_join(
+        clusters, stats, key="node", right_key="doc_id",
+        right_cols={"n_tokens": "n_tokens"}, how="inner",
+    )
+
+    def local_argmax(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        best = (
+            df.sort_values(["n_tokens", "node"], ascending=[False, True], kind="mergesort")
+            .drop_duplicates("label")
+        )
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    # combiner per batch, then one single-partition exact reduce
+    # (rows after the combiner = ≤1 per cluster per batch)
+    return (
+        joined.map_batches(local_argmax, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_argmax, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_id": t["label"].cast(pa.int64()),
+                    "kept_doc_id": t["node"].cast(pa.int64()),
+                    "n_tokens": t["n_tokens"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def dedup_clusters(docs, *, threshold=0.8, num_perm=64, bands=16, k=5, concurrency=4):
     """Near-duplicate CLUSTER assignment: every doc in a verified
     near-dup component labeled with the component's minimum doc_id —

@@ -408,6 +408,58 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic ~20% sample (md5 hash gate on doc_id) — identical
+    row set at any parallelism and in the SQL oracle."""
+    from rdf2smw_ray.pipelines.textstats import deterministic_sample
+
+    out = deterministic_sample(
+        _docs(sf_dir, columns=["doc_id", "source"])
+    ).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "source": pd.Series([], dtype=object)}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# fixed-width lowercase hex compares lexicographically == numerically
+SAMPLE_DOCS_SQL = """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+ORDER BY doc_id
+"""
+
+
+def q_top_bigrams(sf_dir: str):
+    from rdf2smw_ray.pipelines.textstats import top_bigrams
+
+    return top_bigrams(_docs(sf_dir, columns=["doc_id", "text"]), k=20)
+
+
+TOP_BIGRAMS_SQL = r"""
+WITH t AS (SELECT string_split_regex(text, '\s+') AS w FROM documents)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS bigram
+  FROM t WHERE len(w) >= 2
+) GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+def q_token_doc_freq(sf_dir: str):
+    from rdf2smw_ray.pipelines.textstats import token_doc_freq
+
+    return token_doc_freq(_docs(sf_dir, columns=["doc_id", "text"]), k=50)
+
+
+TOKEN_DOC_FREQ_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM (
+  SELECT doc_id, unnest(list_distinct(w)) AS token FROM t
+) GROUP BY token ORDER BY df DESC, token LIMIT 50
+"""
+
+
 def q_docs_per_source(sf_dir: str):
     """Per-source corpus stats: partial per-batch reduce → tiny final
     groupby."""
@@ -600,6 +652,43 @@ FROM reach GROUP BY n ORDER BY doc_id
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    from rdf2smw_ray.pipelines.dedup import dedup_keep_best
+
+    out = dedup_keep_best(
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, concurrency=2
+    ).to_pandas()
+    if "cluster_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "cluster_id": pd.Series([], dtype="int64"),
+                "kept_doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+DEDUP_KEEP_BEST_SQL = (
+    DEDUP_CLUSTERS_SQL.replace(
+        "SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id\nFROM reach GROUP BY n ORDER BY doc_id",
+        """SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS kept_doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM (
+  SELECT r.cluster_id, r.doc_id,
+         len(regexp_extract_all(d.text, '\\S+')) AS n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY r.cluster_id
+           ORDER BY len(regexp_extract_all(d.text, '\\S+')) DESC, r.doc_id
+         ) AS rn
+  FROM (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n) r
+  JOIN documents d ON d.doc_id = r.doc_id
+) WHERE rn = 1 ORDER BY cluster_id""",
+    )
+)
+
+
 def q_simhash(sf_dir: str):
     out = simhashes(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
     out["simhash"] = out["simhash"].astype("uint64").astype(str)
@@ -741,6 +830,9 @@ def all_queries():
         "quality_score": q_quality,
         "normalize_text": q_normalize_text,
         "docs_per_source": q_docs_per_source,
+        "sample_docs": q_sample_docs,
+        "top_bigrams": q_top_bigrams,
+        "token_doc_freq": q_token_doc_freq,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         # dedup
@@ -748,6 +840,7 @@ def all_queries():
         "minhash_dedup": q_minhash_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         # similarity search
@@ -823,6 +916,9 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "quality_score": QUALITY_SQL,
         "normalize_text": NORMALIZE_SQL,
         "docs_per_source": DOCS_PER_SOURCE_SQL,
+        "sample_docs": SAMPLE_DOCS_SQL,
+        "top_bigrams": TOP_BIGRAMS_SQL,
+        "token_doc_freq": TOKEN_DOC_FREQ_SQL,
         "lang_id": LANG_ID_SQL,
         # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,
         # embedding_near_dup: blake2b/seeded-plane-derived → rows-only;
@@ -830,6 +926,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
         "median_value_per_event_type": relational.MEDIAN_SQL,

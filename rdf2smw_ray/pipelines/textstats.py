@@ -111,6 +111,113 @@ def normalize_text(docs):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling — hash-gate on a stable key. The same rows are
+# kept at ANY parallelism, on reruns, and by the SQL oracle (md5 is the
+# shared hash). The canonical "take x% of the corpus" trainer op.
+# ---------------------------------------------------------------------------
+def deterministic_sample(ds, key: str = "doc_id", *, rate_hex: str = "33"):
+    """Keep rows whose ``md5(str(key))`` starts below ``rate_hex``
+    (two hex chars → rate = int(rate_hex,16)/256; "33" ≈ 20%)."""
+    import hashlib
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = pd.Series(batch[key].to_pylist())
+        mask = keys.map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest()[:2] < rate_hex
+        )
+        return batch.filter(pa.array(mask.to_numpy()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics — combiner-first heavy hitters.
+# ---------------------------------------------------------------------------
+def top_bigrams(docs, *, k: int = 20):
+    """Top-k corpus bigrams by count: per-batch bigram counting
+    (combiner — only distinct (bigram, n) rows shuffle), groupby sum,
+    per-batch local top-k, tiny driver merge."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        toks = texts.str.split()
+        flat = []
+        for t in toks:
+            flat.extend(f"{a} {b}" for a, b in zip(t, t[1:]))
+        if not flat:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    summed = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n", "bigram"], ascending=[False, True]).head(k),
+            preserve_index=False,
+        )
+
+    out = summed.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def token_doc_freq(docs, *, k: int = 50):
+    """Document frequency per token (distinct-per-doc combiner →
+    groupby sum → top-k) — the idf building block."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        flat = []
+        for t in texts.str.split():
+            flat.extend(set(t))
+        if not flat:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "df": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    summed = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["df", "token"], ascending=[False, True]).head(k),
+            preserve_index=False,
+        )
+
+    out = summed.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["df", "token"], ascending=[False, True]).head(k)
+    out["df"] = out["df"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Language ID — tiny stopword-profile heuristic (no external models in
 # this environment; the plumbing — actor pool with profiles compiled
 # once — is the scale-relevant part).
