@@ -109,9 +109,27 @@ def bucketed_join(
         }
     payload = right_cols or {}
 
+    # the union needs ONE combined schema — derive it from the input
+    # schemas up front so each side tags AND pads in a single map stage
+    left_types = _schema_types(left_ds)
+    right_types = _schema_types(right_ds)
+    combined: dict[str, pa.DataType] = dict(left_types)
+    if not keys_only:
+        for src, dst in payload.items():
+            combined.setdefault(dst, right_types[src])
+    combined.setdefault(key, right_types[rkey])
+    all_cols = [*combined, _BUCKET, _SIDE]
+
+    def _pad_select(tbl: pa.Table) -> pa.Table:
+        for c, t in combined.items():
+            if c not in tbl.column_names:
+                tbl = tbl.append_column(c, pa.nulls(len(tbl), type=t))
+        return tbl.select(all_cols)
+
     def tag_left(batch: pa.Table) -> pa.Table:
         b = batch.append_column(_BUCKET, _hash_bucket(batch[key], num_buckets))
-        return b.append_column(_SIDE, pa.array(np.zeros(len(batch), dtype=np.int8)))
+        b = b.append_column(_SIDE, pa.array(np.zeros(len(batch), dtype=np.int8)))
+        return _pad_select(b)
 
     def tag_right(batch: pa.Table) -> pa.Table:
         if keys_only:
@@ -121,27 +139,11 @@ def bucketed_join(
                 {key: batch[rkey], **{dst: batch[src] for src, dst in payload.items()}}
             )
         b = out.append_column(_BUCKET, _hash_bucket(out[key], num_buckets))
-        return b.append_column(_SIDE, pa.array(np.ones(len(out), dtype=np.int8)))
+        b = b.append_column(_SIDE, pa.array(np.ones(len(out), dtype=np.int8)))
+        return _pad_select(b)
 
-    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
-    right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
-
-    # union needs one combined schema: pad each side with the other's
-    # missing columns as typed nulls
-    combined: dict[str, pa.DataType] = {}
-    for d in (left_tagged, right_tagged):
-        for n, t in _schema_types(d).items():
-            combined.setdefault(n, t)
-    all_cols = list(combined)
-
-    def pad(batch: pa.Table) -> pa.Table:
-        for c, t in combined.items():
-            if c not in batch.column_names:
-                batch = batch.append_column(c, pa.nulls(len(batch), type=t))
-        return batch.select(all_cols)
-
-    unioned = left_tagged.map_batches(pad, batch_format="pyarrow").union(
-        right_tagged.map_batches(pad, batch_format="pyarrow")
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
     drop = [_BUCKET, _SIDE]
@@ -149,10 +151,8 @@ def bucketed_join(
     # fixed output schema: the pad/union nulls coerce ints to floats in
     # the per-bucket pandas frames, so every merge output is cast back
     # to the original arrow types (NaN → typed null via from_pandas)
-    left_types = _schema_types(left_ds)
     out_fields = [(n, t) for n, t in left_types.items()]
     if not keys_only:
-        right_types = _schema_types(right_ds)
         out_fields += [(dst, right_types[src]) for src, dst in payload.items()]
     out_schema = pa.schema(out_fields)
 
