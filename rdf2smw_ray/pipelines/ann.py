@@ -219,3 +219,91 @@ def embedding_near_dup(embeddings, *, threshold=0.95, n_planes=12, seed=42, conc
 
     edges = bucketed.groupby("__cb").map_groups(verify, batch_format="pandas")
     return edges.groupby("vec_id").min("dup_of")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the classic scale path: a small k-means
+# coarse quantizer (trained on a bounded, deterministic sample) splits
+# the corpus into lists; a query scans only the ``nprobe`` nearest
+# lists. ``nprobe = n_lists`` degenerates to exact search — that
+# configuration is value-checked against the brute-force SQL oracle,
+# proving the machinery; smaller nprobe trades recall for scan
+# fraction (recall pytest-asserted).
+# ---------------------------------------------------------------------------
+def _unit(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1e-12
+    return mat / n[:, None]
+
+
+def train_ivf_centroids(
+    embeddings, *, n_lists: int = 16, sample_size: int = 2048, iters: int = 10
+) -> np.ndarray:
+    """Spherical k-means on a deterministic bounded sample (vec_id <
+    sample_size — NOT a full materialization). Returns unit centroids."""
+    import pyarrow.compute as pc
+
+    sample_tbl = embeddings.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], sample_size)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    sample = _unit(np.asarray(sample_tbl["embedding"].tolist(), dtype=np.float64))
+    rng = np.random.RandomState(42)
+    n_lists = min(n_lists, len(sample))
+    cent = sample[rng.choice(len(sample), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def ivf_assign(embeddings, centroids: np.ndarray, *, concurrency=4):
+    """Append ``list_id`` = nearest centroid per row (batch matmul)."""
+    import ray
+
+    from rdf2smw_ray.util import pool
+
+    ref = ray.put(centroids)
+
+    class Assigner:
+        def __init__(self, cent_ref):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _unit(_to_matrix(batch["embedding"]))
+            lid = (mat @ self.cent.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("list_id", pa.array(lid, pa.int32()))
+
+    return embeddings.map_batches(
+        Assigner,
+        fn_constructor_kwargs={"cent_ref": ref},
+        batch_format="pyarrow",
+        concurrency=pool(concurrency),
+    )
+
+
+def ann_ivf_topk(
+    embeddings,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    concurrency=4,
+):
+    import pyarrow.compute as pc
+
+    q = np.asarray(query, dtype=np.float64)
+    cent = train_ivf_centroids(embeddings, n_lists=n_lists)
+    qu = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cent @ qu))[: min(nprobe, len(cent))].astype(np.int32)
+    assigned = ivf_assign(embeddings, cent, concurrency=concurrency)
+    candidates = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["list_id"], value_set=pa.array(probe))),
+        batch_format="pyarrow",
+    )
+    return ann_brute_topk(candidates, q, k, concurrency=concurrency)

@@ -328,6 +328,74 @@ ORDER BY title, property, value
 """
 
 
+def kg_pagerank(sf_dir: str):
+    """Iterative graph analytics on the extracted KG: 3 PageRank power
+    iterations over the distinct works_with edge set, every step a
+    Dataset op — value-checked against an unrolled-iteration SQL
+    oracle."""
+    import pyarrow.compute as pc
+
+    from rdf2smw_ray.pipelines.graph import pagerank
+    from rdf2smw_ray.sources.webpages import synth_web_pages
+    from rdf2smw_ray.stages.extract_text import extract_text
+    from rdf2smw_ray.stages.extract_triples import PROP_NS, extract_triples
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    triples = extract_triples(
+        extract_text(synth_web_pages(docs), concurrency=2), concurrency=2
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], PROP_NS + "works_with"))
+        subj = pd.Series(t["subj"].to_pylist(), dtype=object).str.rsplit("/", n=1).str[-1]
+        obj = pd.Series(t["obj"].to_pylist(), dtype=object).str.rsplit("/", n=1).str[-1]
+        return pa.table(
+            {
+                "src": pa.array(subj.to_numpy(), pa.string()),
+                "dst": pa.array(obj.to_numpy(), pa.string()),
+            }
+        )
+
+    pr = pagerank(triples.map_batches(to_edges, batch_format="pyarrow"), iters=3)
+    out = pr.to_pandas().rename(columns={"node": "entity"})
+    out["pr"] = out["pr"].round(6)
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+KG_PAGERANK_SQL = """
+WITH dd AS (
+  SELECT DISTINCT (3*doc_id) % 1009 AS s, (3*doc_id+1) % 1009 AS t FROM documents
+), nodes AS (
+  SELECT DISTINCT n FROM (SELECT s AS n FROM dd UNION SELECT t FROM dd)
+), nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT s, COUNT(*)::DOUBLE AS outdeg FROM dd GROUP BY s),
+p0 AS (SELECT n AS node, 1.0/(SELECT n FROM nn) AS pr FROM nodes),
+p1 AS (
+  SELECT nodes.n AS node,
+         0.15/(SELECT n FROM nn) + 0.85*COALESCE(SUM(p.pr/deg.outdeg), 0) AS pr
+  FROM nodes LEFT JOIN dd ON dd.t = nodes.n
+  LEFT JOIN p0 p ON p.node = dd.s
+  LEFT JOIN deg ON deg.s = dd.s
+  GROUP BY nodes.n
+), p2 AS (
+  SELECT nodes.n AS node,
+         0.15/(SELECT n FROM nn) + 0.85*COALESCE(SUM(p.pr/deg.outdeg), 0) AS pr
+  FROM nodes LEFT JOIN dd ON dd.t = nodes.n
+  LEFT JOIN p1 p ON p.node = dd.s
+  LEFT JOIN deg ON deg.s = dd.s
+  GROUP BY nodes.n
+), p3 AS (
+  SELECT nodes.n AS node,
+         0.15/(SELECT n FROM nn) + 0.85*COALESCE(SUM(p.pr/deg.outdeg), 0) AS pr
+  FROM nodes LEFT JOIN dd ON dd.t = nodes.n
+  LEFT JOIN p2 p ON p.node = dd.s
+  LEFT JOIN deg ON deg.s = dd.s
+  GROUP BY nodes.n
+)
+SELECT 'Entity_' || node AS entity, ROUND(pr, 6) AS pr FROM p3 ORDER BY entity
+"""
+
+
 def kg_pages(sf_dir: str):
     """Full flagship pipeline; scalar page columns (rows-only check —
     nested fact lists and rendering are covered by pytest oracles)."""
@@ -725,6 +793,21 @@ LIMIT 10
 """
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF top-k with full probe (nprobe = n_lists) — exercises the
+    quantizer/assignment/probe machinery end-to-end while remaining
+    exactly equal to the brute-force SQL oracle; partial-probe recall
+    is pytest-asserted."""
+    from rdf2smw_ray.pipelines.ann import ann_ivf_topk
+
+    out = ann_ivf_topk(
+        _emb(sf_dir), _query_vec(sf_dir), k=10, n_lists=16, nprobe=16, concurrency=2
+    )
+    out = out[["vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
 def q_ann_lsh(sf_dir: str):
     out = ann_lsh_topk(_emb(sf_dir), _query_vec(sf_dir), k=10, concurrency=2)
     out = out[["vec_id", "score"]].copy()
@@ -812,6 +895,7 @@ def all_queries():
         "kg_cooccur": kg_cooccur,
         "kg_extracted_triples": kg_extracted_triples,
         "kg_page_facts": kg_page_facts,
+        "kg_pagerank": kg_pagerank,
         "kg_pages": kg_pages,
         # relational operator inventory
         "pricing_summary": relational.pricing_summary,
@@ -845,12 +929,14 @@ def all_queries():
         "simhash_near_dup": q_simhash_near_dup,
         # similarity search
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         # stream-shaped / join variants
         "sessionize": windows.sessionize,
         "asof_click_before_purchase": windows.asof_click_before_purchase,
         "clicks_before_purchase_window": windows.clicks_before_purchase_window,
+        "latest_event_per_user": windows.latest_event_per_user,
         "customers_without_orders": windows.customers_without_orders,
         "customers_without_orders_bloom": windows.customers_without_orders_bloom,
         "orders_from_europe": windows.orders_from_europe,
@@ -869,6 +955,7 @@ def all_oracle_sql():
         "kg_cooccur": KG_COOCCUR_SQL,
         "kg_extracted_triples": KG_EXTRACTED_TRIPLES_SQL,
         "kg_page_facts": KG_PAGE_FACTS_SQL,
+        "kg_pagerank": KG_PAGERANK_SQL,
         # kg_pages: non-SQL-expressible (full pipeline) → rows-only
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -928,12 +1015,14 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        "ann_ivf_topk": ANN_TOPK_SQL,  # full probe == exact
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
         "median_value_per_event_type": relational.MEDIAN_SQL,
         "orders_price_tiers": relational.PRICE_TIERS_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,
+        "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,
         "customers_without_orders_bloom": windows.ANTI_JOIN_SQL,
         "orders_from_europe": windows.SEMI_JOIN_SQL,

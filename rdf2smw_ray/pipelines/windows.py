@@ -260,6 +260,43 @@ ORDER BY c_custkey
 """
 
 
+def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Upsert/CDC compaction: the latest event per key ((ts, event_id)
+    argmax). Per-batch local argmax combiner — ≤1 row per user per
+    batch shuffles — then one tiny exact reduce."""
+    import ray.data as rd
+
+    def local_latest(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        best = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).drop_duplicates("user_id", keep="last")
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type", "value"])
+    out = (
+        ds.map_batches(local_latest, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_latest, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["value"] = out["value"].round(2)
+    out["ts"] = pd.to_datetime(out["ts"]).dt.strftime("%Y-%m-%d %H:%M:%S")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_type, ROUND(value, 2) AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def customers_without_orders_bloom(sf_dir: str) -> pd.DataFrame:
     """Same anti join via the Bloom-prefilter path (stages/bloom.py):
     the filter drops definitely-unmatched rows without a shuffle; only

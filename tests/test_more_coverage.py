@@ -98,3 +98,29 @@ def test_remaining_title_property_priorities():
     titles = set(res["content"].to_pandas()["title"])
     assert "From Dcterms" in titles  # dcterms beats skos
     assert "Y Skos" in titles  # skos beats foaf
+
+
+def test_ann_ivf_partial_probe_recall():
+    """IVF with nprobe=4/16 must recover most of the exact top-10 on
+    the testdata embeddings (clustered corpus → high recall), and
+    full probe must equal brute force exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.ann import ann_brute_topk, ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    q = np.asarray(
+        t.filter(pa.compute.equal(t["vec_id"], 0))["embedding"].to_pylist()[0],
+        dtype=np.float64,
+    )
+    exact = ann_brute_topk(emb, q, k=10, concurrency=2)
+    full = ann_ivf_topk(emb, q, k=10, n_lists=16, nprobe=16, concurrency=2)
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    partial = ann_ivf_topk(emb, q, k=10, n_lists=16, nprobe=4, concurrency=2)
+    recall = len(set(partial["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.5, recall
