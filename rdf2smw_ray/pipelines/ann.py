@@ -247,6 +247,9 @@ def train_ivf_centroids(
         lambda t: t.filter(pc.less(t["vec_id"], sample_size)),
         batch_format="pyarrow",
     ).to_pandas()
+    # block arrival order is nondeterministic — fix the row order so
+    # k-means init (seeded rng over row indices) is reproducible
+    sample_tbl = sample_tbl.sort_values("vec_id").reset_index(drop=True)
     sample = _unit(np.asarray(sample_tbl["embedding"].tolist(), dtype=np.float64))
     rng = np.random.RandomState(42)
     n_lists = min(n_lists, len(sample))
