@@ -91,6 +91,13 @@ def bucketed_join(
     those without — both shuffle only the right KEY column, per-batch
     deduplicated.
 
+    LOOKUP semantics on the right side: one row per right key (a
+    duplicated key keeps one arbitrary row) — matching left rows are
+    never multiplied. This is the dimension/sidecar-join shape every
+    caller in this engine needs; a multiplicity-preserving SQL join
+    would instead emit the per-bucket pandas merge without the
+    ``drop_duplicates``.
+
     Returns a Dataset of left rows (plus joined columns for
     inner/left) with the internal tag columns removed.
     """
