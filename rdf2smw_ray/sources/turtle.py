@@ -363,6 +363,61 @@ def parse_turtle(text: str, *, src: str = "", seq_base: int = 0) -> pa.Table:
     )
 
 
+def read_turtle_audited(paths: str | list[str]):
+    """Like :func:`read_turtle` but keeps the dead-letter record
+    in-band (parity with ``read_ntriples_audited``): the returned
+    Dataset has an ``error_line`` column — "" for parsed statements;
+    a file that fails to parse contributes ONE row with ``subj == ""``
+    and the parse error message (Turtle is stateful, so the file — not
+    the line — is the poison unit)."""
+    import os
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(
+                os.path.join(paths, f)
+                for f in os.listdir(paths)
+                if f.endswith((".ttl", ".turtle"))
+            )
+        else:
+            paths = [paths]
+    file_idx = {p: i for i, p in enumerate(sorted(paths))}
+
+    def parse_file(batch: pa.Table) -> pa.Table:
+        tables = []
+        for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            base = file_idx.get(path, 0)
+            try:
+                good = parse_turtle(
+                    data.decode("utf-8"), src=path, seq_base=base * _FILE_SEQ_STRIDE
+                )
+                tables.append(
+                    good.append_column(
+                        "error_line", pa.array([""] * good.num_rows, pa.string())
+                    )
+                )
+            except (ValueError, UnicodeDecodeError) as e:
+                err = TRIPLES_SCHEMA.empty_table().to_pydict()
+                err.update(
+                    subj=[""], pred=[""], obj=[""], obj_is_iri=[False],
+                    obj_kind=["literal"], obj_datatype=[""], obj_lang=[""],
+                    seq=[base * _FILE_SEQ_STRIDE], src=[path],
+                )
+                t = pa.Table.from_pydict(err, schema=TRIPLES_SCHEMA)
+                tables.append(
+                    t.append_column("error_line", pa.array([str(e)], pa.string()))
+                )
+        if not tables:
+            t = TRIPLES_SCHEMA.empty_table()
+            return t.append_column("error_line", pa.array([], pa.string()))
+        return pa.concat_tables(tables)
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(parse_file, batch_format="pyarrow", batch_size=None)
+
+
 def read_turtle(paths: str | list[str]):
     """Read Turtle file(s) into a triples Dataset; one task per file.
     Files that fail to parse are dead-lettered (empty output + counted

@@ -179,3 +179,21 @@ def test_turtle_random_literals_roundtrip():
         assert t["obj"].to_pylist()[0] == s
 
     inner()
+
+
+def test_read_turtle_audited(tmp_path):
+    from rdf2smw_ray.sources.ntriples import split_dead_letters
+    from rdf2smw_ray.sources.turtle import read_turtle_audited
+
+    good = tmp_path / "good.ttl"
+    good.write_text(TTL)
+    bad = tmp_path / "bad.ttl"
+    bad.write_text("@prefix ex: <http://e/> .\nex:s ex:p [ unclosed")
+    clean, errors = split_dead_letters(
+        read_turtle_audited([str(good), str(bad)])
+    )
+    cdf, edf = clean.to_pandas(), errors.to_pandas()
+    assert len(cdf) == 10 and "error_line" not in cdf.columns
+    assert len(edf) == 1
+    assert edf["src"].iloc[0] == str(bad)
+    assert "turtle" in edf["error_line"].iloc[0]
