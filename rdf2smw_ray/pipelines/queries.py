@@ -328,6 +328,75 @@ ORDER BY title, property, value
 """
 
 
+def kg_category_filter(sf_dir: str):
+    """CategoryFilterer under a value-checked oracle: keep pages whose
+    categories intersect the allowlist {title(Class_0), title(Class_1)}
+    — the allowlist itself is resolved from the folded class pages
+    (2 rows, bounded by allowlist size), never hardcoded. The hub page
+    is excluded on both sides (its title is first-wins ambiguous, see
+    kg_page_facts)."""
+    from rdf2smw_ray.pipelines.kg import flagship
+    from rdf2smw_ray.stages.catfilter import filter_pages_by_categories
+
+    out = flagship(sf_dir, concurrency=2)
+    pages = out["pages"]
+
+    def class_titles(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df["subj"].isin([_CLS + "0", _CLS + "1"])
+        t = df.loc[m, "title"].str.replace("Category:", "", n=1, regex=False)
+        return pa.table({"t": pa.array(t.to_numpy(), pa.string())})
+
+    allow = sorted(
+        pages.map_batches(class_titles, batch_format="pyarrow").to_pandas()["t"]
+    )
+    kept = filter_pages_by_categories(pages, allow)
+
+    def titles(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["subj"] != _ENT + "0"]
+        return pa.table({"title": pa.array(df["title"].to_numpy(), pa.string())})
+
+    res = kept.map_batches(titles, batch_format="pyarrow").to_pandas()
+    return res.sort_values("title").reset_index(drop=True)
+
+
+# derives the same kept-title set: pages whose Category list contains
+# title(Class_0) or title(Class_1) — entity pages with k∈{0,1} plus the
+# class pages whose super-class is 0 or 1 (subclass edge c→c+1 ⇒
+# Class_0 only from... no c+1=0; Class_1 from c=0)
+KG_CATEGORY_FILTER_SQL = """
+WITH d AS (
+  SELECT doc_id, (3*doc_id) % 1009 AS e1, ((3*doc_id) % 1009) % 8 AS k
+  FROM documents
+), labeled_class AS (
+  SELECT DISTINCT k FROM d WHERE doc_id % 20 = 0
+), subclass_c AS (
+  SELECT DISTINCT doc_id % 11 AS c FROM documents WHERE doc_id % 11 <= 6
+), classes AS (
+  SELECT DISTINCT k FROM (
+    SELECT k FROM d
+    UNION ALL SELECT c FROM subclass_c
+    UNION ALL SELECT c + 1 FROM subclass_c
+    UNION ALL SELECT 0
+  )
+), ctitle AS (
+  SELECT k, CASE WHEN k IN (SELECT k FROM labeled_class)
+                 THEN 'Klass ' || k ELSE 'Class_' || k END AS t
+  FROM classes
+)
+SELECT title FROM (
+  -- entity pages categorized into Class_0 / Class_1
+  SELECT 'Ent ' || e1 || ' Label' AS title FROM d WHERE k IN (0, 1) AND e1 <> 0
+  UNION
+  -- class pages whose super-class (c+1) is 0 or 1: only c=0 → Class_0's page
+  SELECT 'Category:' || c1.t FROM subclass_c
+  JOIN ctitle c1 ON c1.k = subclass_c.c
+  WHERE subclass_c.c + 1 IN (0, 1)
+) ORDER BY title
+"""
+
+
 def kg_pagerank(sf_dir: str):
     """Iterative graph analytics on the extracted KG: 3 PageRank power
     iterations over the distinct works_with edge set, every step a
@@ -896,6 +965,7 @@ def all_queries():
         "kg_extracted_triples": kg_extracted_triples,
         "kg_page_facts": kg_page_facts,
         "kg_pagerank": kg_pagerank,
+        "kg_category_filter": kg_category_filter,
         "kg_pages": kg_pages,
         # relational operator inventory
         "pricing_summary": relational.pricing_summary,
@@ -956,6 +1026,7 @@ def all_oracle_sql():
         "kg_extracted_triples": KG_EXTRACTED_TRIPLES_SQL,
         "kg_page_facts": KG_PAGE_FACTS_SQL,
         "kg_pagerank": KG_PAGERANK_SQL,
+        "kg_category_filter": KG_CATEGORY_FILTER_SQL,
         # kg_pages: non-SQL-expressible (full pipeline) → rows-only
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
