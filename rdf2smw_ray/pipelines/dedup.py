@@ -585,20 +585,12 @@ def dedup_keep_best(docs, *, threshold=0.8, num_perm=64, bands=16, k=5, concurre
         right_cols={"n_tokens": "n_tokens"}, how="inner",
     )
 
-    def local_argmax(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        best = (
-            df.sort_values(["n_tokens", "node"], ascending=[False, True], kind="mergesort")
-            .drop_duplicates("label")
-        )
-        return pa.Table.from_pandas(best, preserve_index=False)
+    from rdf2smw_ray.stages.reduce import keyed_first
 
-    # combiner per batch, then one single-partition exact reduce
-    # (rows after the combiner = ≤1 per cluster per batch)
+    # combiner + coarse-bucketed exact reduce (stages/reduce.py) —
+    # clusters ∝ corpus, so no single-task funnel
     return (
-        joined.map_batches(local_argmax, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(local_argmax, batch_format="pyarrow")
+        keyed_first(joined, ["label"], ["n_tokens", "node"], [False, True])
         .map_batches(
             lambda t: pa.table(
                 {

@@ -262,24 +262,14 @@ ORDER BY c_custkey
 
 def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
     """Upsert/CDC compaction: the latest event per key ((ts, event_id)
-    argmax). Per-batch local argmax combiner — ≤1 row per user per
-    batch shuffles — then one tiny exact reduce."""
-    import ray.data as rd
-
-    def local_latest(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        best = df.sort_values(
-            ["user_id", "ts", "event_id"], kind="mergesort"
-        ).drop_duplicates("user_id", keep="last")
-        return pa.Table.from_pandas(best, preserve_index=False)
+    argmax) via the coarse-bucketed keyed reduce (stages/reduce.py) —
+    exact at any parallelism, no single-task funnel."""
+    from rdf2smw_ray.stages.reduce import keyed_first
 
     ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type", "value"])
-    out = (
-        ds.map_batches(local_latest, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(local_latest, batch_format="pyarrow")
-        .to_pandas()
-    )
+    out = keyed_first(
+        ds, ["user_id"], ["user_id", "ts", "event_id"], [True, False, False]
+    ).to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     out["event_id"] = out["event_id"].astype("int64")
     out["value"] = out["value"].round(2)
