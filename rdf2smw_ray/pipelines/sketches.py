@@ -111,19 +111,24 @@ def approx_quantiles(
     (vectorized ``np.bincount``); partials tree-merge by addition; the
     driver holds only two histograms' worth of state. No sort, no
     shuffle of the data itself."""
-    import pyarrow.compute as pc
-
     from ray.data.aggregate import AggregateFn
 
     proj = ds.select_columns([column])
 
     def minmax_block(state, block):
         t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
-        lo = pc.min(t[column]).as_py()
-        hi = pc.max(t[column]).as_py()
-        if lo is None:
+        # same valid-value mask as the histogram pass: nulls/NaNs must
+        # not count toward n, or the q*n targets overshoot the
+        # cumulative histogram (ADVICE round 2)
+        v = np.asarray(t[column].to_pandas(), dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
             return state
-        return (min(state[0], lo), max(state[1], hi), state[2] + t.num_rows)
+        return (
+            min(state[0], float(v.min())),
+            max(state[1], float(v.max())),
+            state[2] + len(v),
+        )
 
     mm = proj.aggregate(
         AggregateFn(

@@ -167,29 +167,55 @@ def clicks_before_purchase_window(sf_dir: str, window_minutes: int = 60) -> pd.D
     (user, ts) key covers every user at once — no per-user or per-row
     Python."""
     window_ns = np.int64(window_minutes * 60 * 1_000_000_000)
-    # composite key: dense user code * SPAN + relative ts. SPAN leaves
-    # the full ts range per user, so windows never cross users.
+    # composite key: dense user code * SPAN + PER-USER relative ts.
+    # rel is each row's offset from its own user's first event, so SPAN
+    # is the max per-user activity span + window + 2 — usually orders of
+    # magnitude below the bucket's full ts range, which keeps
+    # codes * span inside int64 even at 10^8 users (ADVICE round 2: the
+    # old global-range span silently wrapped in exactly that regime).
+    # When the product still can't fit, fall back to per-user-segment
+    # searchsorted — correct at any scale, just not single-call.
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         # normalize to ns regardless of the parquet timestamp unit
         ts = df["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
-        t0 = ts.min() if len(ts) else 0
-        rel = ts - t0
-        codes, _ = pd.factorize(df["user_id"], sort=False)
-        span = np.int64(rel.max() + window_ns + 2) if len(rel) else np.int64(1)
-        key = codes.astype(np.int64) * span + rel
+        codes, _ = pd.factorize(df["user_id"], sort=False)  # grouped: sorted input
         is_buy = (df["event_type"] == "purchase").to_numpy()
         is_click = (df["event_type"] == "click").to_numpy()
-        click_keys = key[is_click]
-        buy_keys = key[is_buy]
-        lo = np.searchsorted(click_keys, buy_keys - window_ns, side="right")
-        hi = np.searchsorted(click_keys, buy_keys, side="left")
+        if len(ts):
+            starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+            seg_len = np.diff(np.append(starts, len(codes)))
+            rel = ts - np.repeat(ts[starts], seg_len)
+            span = int(rel.max()) + int(window_ns) + 2
+            if codes[-1] < (2**63 - 1) // span:
+                key = codes.astype(np.int64) * np.int64(span) + rel
+                click_keys = key[is_click]
+                buy_keys = key[is_buy]
+                lo = np.searchsorted(click_keys, buy_keys - window_ns, side="right")
+                hi = np.searchsorted(click_keys, buy_keys, side="left")
+                n_clicks = hi - lo
+            else:
+                # overflow regime: one searchsorted per user SEGMENT
+                n_parts = []
+                for s, ln in zip(starts, seg_len):
+                    seg_ts = ts[s : s + ln]
+                    c = seg_ts[is_click[s : s + ln]]
+                    b = seg_ts[is_buy[s : s + ln]]
+                    n_parts.append(
+                        np.searchsorted(c, b, side="left")
+                        - np.searchsorted(c, b - window_ns, side="right")
+                    )
+                n_clicks = (
+                    np.concatenate(n_parts) if n_parts else np.array([], dtype=np.int64)
+                )
+        else:
+            n_clicks = np.array([], dtype=np.int64)
         out = pd.DataFrame(
             {
                 "user_id": df["user_id"].to_numpy()[is_buy],
                 "purchase_id": df["event_id"].to_numpy()[is_buy],
-                "n_clicks": (hi - lo).astype("int64"),
+                "n_clicks": n_clicks.astype("int64"),
             }
         )
         return pa.Table.from_pandas(out, preserve_index=False)

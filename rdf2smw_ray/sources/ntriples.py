@@ -136,6 +136,21 @@ def parse_ntriples_lines(
 _FILE_SEQ_STRIDE = 1 << 40
 
 
+def resolve_seq_base(path: str, file_idx: dict) -> int:
+    """File-index lookup robust to Ray's path normalization
+    (``read_binary_files`` may hand back absolutized / scheme-prefixed
+    paths): exact hit first, then suffix match either way. Shared by
+    every file reader so none silently collides all files onto
+    seq_base 0 (ADVICE round 2)."""
+    base = file_idx.get(path)
+    if base is not None:
+        return base
+    for p, i in file_idx.items():
+        if path.endswith(p) or p.endswith(path):
+            return i
+    return 0
+
+
 def read_ntriples(paths: str | list[str]):
     """Read N-Triples file(s) into a triples Dataset (TRIPLES_SCHEMA).
 
@@ -162,13 +177,7 @@ def read_ntriples(paths: str | list[str]):
         ):
             text = data.decode("utf-8")
             lines = pd.Series(text.split("\n"))
-            base = file_idx.get(path, 0)
-            # Ray may return absolute paths; fall back to suffix match.
-            if path not in file_idx:
-                for p, i in file_idx.items():
-                    if path.endswith(p) or p.endswith(path):
-                        base = i
-                        break
+            base = resolve_seq_base(path, file_idx)
             tables.append(
                 parse_ntriples_lines(lines, seq_base=base * _FILE_SEQ_STRIDE, src=path)
             )
@@ -203,12 +212,7 @@ def read_ntriples_audited(paths: str | list[str]):
     def parse_file(batch: pa.Table) -> pa.Table:
         tables = []
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            base = file_idx.get(path, 0)
-            if path not in file_idx:
-                for p, i in file_idx.items():
-                    if path.endswith(p) or p.endswith(path):
-                        base = i
-                        break
+            base = resolve_seq_base(path, file_idx)
             dead: list = []
             good = parse_ntriples_lines(
                 pd.Series(data.decode("utf-8").split("\n")),

@@ -37,7 +37,11 @@ from urllib.parse import urljoin
 import pyarrow as pa
 
 from rdf2smw_ray.schemas import OBJ_BLANK, OBJ_IRI, OBJ_LITERAL, TRIPLES_SCHEMA
-from rdf2smw_ray.sources.ntriples import _FILE_SEQ_STRIDE, unescape_literal
+from rdf2smw_ray.sources.ntriples import (
+    _FILE_SEQ_STRIDE,
+    resolve_seq_base,
+    unescape_literal,
+)
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDF_TYPE = RDF_NS + "type"
@@ -388,7 +392,7 @@ def read_turtle_audited(paths: str | list[str]):
     def parse_file(batch: pa.Table) -> pa.Table:
         tables = []
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            base = file_idx.get(path, 0)
+            base = resolve_seq_base(path, file_idx)
             try:
                 good = parse_turtle(
                     data.decode("utf-8"), src=path, seq_base=base * _FILE_SEQ_STRIDE
@@ -440,12 +444,7 @@ def read_turtle(paths: str | list[str]):
     def parse_file(batch: pa.Table) -> pa.Table:
         tables = []
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            base = file_idx.get(path, 0)
-            if path not in file_idx:
-                for p, idx in file_idx.items():
-                    if path.endswith(p) or p.endswith(path):
-                        base = idx
-                        break
+            base = resolve_seq_base(path, file_idx)
             try:
                 tables.append(
                     parse_turtle(

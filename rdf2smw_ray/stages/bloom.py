@@ -32,6 +32,9 @@ _HK2 = "bloomhash2_6543210"[:16].ljust(16, "0")
 
 
 def _key_hashes(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    from rdf2smw_ray.stages.join import norm_key_series
+
+    values = norm_key_series(values)  # int32 -5 must hash like int64 -5
     h1 = pd.util.hash_pandas_object(values, index=False, hash_key=_HK1).to_numpy()
     h2 = pd.util.hash_pandas_object(values, index=False, hash_key=_HK2).to_numpy()
     return h1, h2 | np.uint64(1)  # odd step → full cycle for power-of-2 m

@@ -64,9 +64,22 @@ def _schema_types(ds) -> dict[str, pa.DataType]:
     return {n: _as_arrow_type(t) for n, t in zip(sch.names, sch.types)}
 
 
+def norm_key_series(s: pd.Series) -> pd.Series:
+    """Canonicalize the physical dtype before hashing: equal keys must
+    hash equally on both sides even when one side carries int32 and the
+    other int64 (``pd.util.hash_pandas_object`` is dtype-width-sensitive
+    for negative integers — ADVICE round 2). Integers → int64, floats →
+    float64; everything else hashes as-is."""
+    if pd.api.types.is_integer_dtype(s.dtype):
+        return pd.Series(s.to_numpy().astype(np.int64, copy=False))
+    if pd.api.types.is_float_dtype(s.dtype):
+        return pd.Series(s.to_numpy().astype(np.float64, copy=False))
+    return s
+
+
 def _hash_bucket(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     h = pd.util.hash_pandas_object(
-        pd.Series(arr.to_pandas()), index=False
+        norm_key_series(pd.Series(arr.to_pandas())), index=False
     ).to_numpy()
     return pa.array((h % num_buckets).astype(np.int32), pa.int32())
 

@@ -36,7 +36,17 @@ def _kind_partial(batch: pa.Table) -> pa.Table:
     g = batch.group_by(["pred_title", "property", "has_type"]).aggregate(
         [("seq", "min")]
     )
-    return g.rename_columns(["pred_title", "property", "has_type", "seq"])
+    # select/rename BY NAME: the key-columns-first ordering of
+    # group_by().aggregate() output is a pyarrow-version behavior
+    # (ADVICE round 2 — positional rename mislabels on a pyarrow bump)
+    return pa.table(
+        {
+            "pred_title": g["pred_title"],
+            "property": g["property"],
+            "has_type": g["has_type"],
+            "seq": g["seq_min"],
+        }
+    )
 
 
 def build_property_pages(resolved, pages) -> pa.Table:
