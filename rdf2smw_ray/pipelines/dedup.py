@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rdf2smw_ray.util import table_from_pandas
+
 
 def _md5_series(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: hashlib.md5((t or "").encode()).hexdigest())
@@ -64,9 +66,29 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+_HK_TOK = "graft-token-hash"  # exactly 16 chars (pandas hash_key contract)
+
+
 def _hash64_tokens(toks: list[str]) -> np.ndarray:
-    """Stable 64-bit hash per token (vectorized rolling combine of
-    per-token hashes is built on these)."""
+    """Stable 64-bit hash per token — one C-level siphash pass over the
+    whole token array (``pd.util.hash_pandas_object``), deterministic
+    across runs and processes. Round-2 VERDICT item 3: this was a
+    per-token Python ``blake2b`` loop, the last per-element hot loop
+    under shingles/SimHash/fingerprints; :func:`_hash64_tokens_blake`
+    keeps the old kernel for the transition's value-parity tests."""
+    if not toks:
+        return np.array([], dtype=np.uint64)
+    return (
+        pd.util.hash_pandas_object(
+            pd.Series(toks, dtype=object), index=False, hash_key=_HK_TOK
+        )
+        .to_numpy()
+        .astype(np.uint64, copy=False)
+    )
+
+
+def _hash64_tokens_blake(toks: list[str]) -> np.ndarray:
+    """Former scalar kernel (reference for hash-quality tests)."""
     return np.array(
         [
             int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
@@ -271,27 +293,38 @@ def minhash_candidates(docs, *, num_perm=64, bands=16, k=5, concurrency=4):
 
 
 def _verify_jaccard_edges(edges, docs, *, a_col, b_col, threshold, k):
-    """Distributed candidate verification (round-1 fix #4: this used to
-    materialize edges + texts on the driver): texts are attached to the
-    edge stream via TWO bucketed co-shuffle joins (stages/join.py) and
-    exact shingle Jaccard runs inside map_batches — per-batch shingle
-    sets cached per doc. Nothing driver-side is edge- or
-    corpus-proportional."""
+    """Distributed candidate verification in ONE endpoint co-shuffle +
+    one pair regroup (round-3 VERDICT item 6 — was two sequential
+    bucketed joins, each a full shuffle of edges + texts):
+
+    1. edges explode into two endpoint rows (pair, doc_id, side) and
+       union with the Bloom-prefiltered text stream; one co-shuffle on
+       ``hash(doc_id)`` attaches each endpoint's text;
+    2. one regroup on ``hash(pair)`` brings both endpoint texts of a
+       pair together, where exact shingle Jaccard verifies it (shingle
+       sets cached per doc within each group).
+
+    Nothing driver-side is edge- or corpus-proportional; the Bloom
+    width auto-sizes from the materialized candidate count."""
     import functools
 
     import ray
 
-    from rdf2smw_ray.stages.bloom import BloomFilter, build_bloom
-    from rdf2smw_ray.stages.join import bucketed_join
-    from rdf2smw_ray.tuning import dataset_est_bytes
+    from rdf2smw_ray.stages.bloom import BloomFilter, bloom_bits_for, build_bloom
+    from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
 
     est = dataset_est_bytes(docs)
+    num_buckets = auto_buckets(est)
     texts = docs.select_columns(["doc_id", "text"])
 
-    # Bloom-prefilter the text stream on the candidate id set: the two
-    # joins below then shuffle ~candidate texts instead of the corpus
-    # (false positives only add a few stray rows to the shuffle).
+    # Bloom-prefilter the text stream on the candidate id set: the
+    # co-shuffle below then carries ~candidate texts instead of the
+    # corpus (false positives only add a few stray rows).
     edges = edges.materialize()
+    n_edges = edges.count()
+    # sized from the materialized candidate count (≤ 2 endpoints/edge)
+    m_bits = bloom_bits_for(2 * n_edges)
+
     ids_ds = edges.map_batches(
         lambda t: pa.table(
             {
@@ -305,7 +338,7 @@ def _verify_jaccard_edges(edges, docs, *, a_col, b_col, threshold, k):
         ),
         batch_format="pyarrow",
     )
-    bloom = build_bloom(ids_ds, "doc_id", m_bits=1 << 20)
+    bloom = build_bloom(ids_ds, "doc_id", m_bits=m_bits)
     bloom_ref = ray.put(bloom.bits)
 
     def prefilter(batch: pa.Table, m_bits: int, k: int) -> pa.Table:
@@ -319,17 +352,94 @@ def _verify_jaccard_edges(edges, docs, *, a_col, b_col, threshold, k):
         batch_format="pyarrow",
     )
 
-    with_a = bucketed_join(
-        edges, texts, key=a_col, right_key="doc_id",
-        right_cols={"text": "__text_a"}, how="inner", est_bytes=est,
-    )
-    with_ab = bucketed_join(
-        with_a, texts, key=b_col, right_key="doc_id",
-        right_cols={"text": "__text_b"}, how="inner", est_bytes=est,
+    def _doc_bucket(arr: pa.Array) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(arr.to_pandas()), index=False
+        ).to_numpy()
+        return pa.array((h % num_buckets).astype(np.int32), pa.int32())
+
+    def explode_edges(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].combine_chunks().cast(pa.int64())
+        b = batch[b_col].combine_chunks().cast(pa.int64())
+        n = len(batch)
+        doc = pa.concat_arrays([a, b])
+        out = pa.table(
+            {
+                "__pa": pa.concat_arrays([a, a]),
+                "__pb": pa.concat_arrays([b, b]),
+                "doc_id": doc,
+                "__side": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int8), n), pa.int8()
+                ),
+                "text": pa.nulls(2 * n, pa.string()),
+            }
+        )
+        return out.append_column("__dbkt", _doc_bucket(out["doc_id"]))
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {
+                "__pa": pa.nulls(n, pa.int64()),
+                "__pb": pa.nulls(n, pa.int64()),
+                "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+                "__side": pa.array(np.full(n, 2, dtype=np.int8), pa.int8()),
+                "text": batch["text"].cast(pa.string()),
+            }
+        )
+        return out.append_column("__dbkt", _doc_bucket(out["doc_id"]))
+
+    unioned = edges.map_batches(explode_edges, batch_format="pyarrow").union(
+        texts.map_batches(tag_text, batch_format="pyarrow")
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+    _PAIR_MIX = np.int64(0x9E3779B1)
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        tx = df.loc[df["__side"] == 2, ["doc_id", "text"]].drop_duplicates("doc_id")
+        ep = df.loc[df["__side"] != 2, ["__pa", "__pb", "doc_id", "__side"]]
+        m = ep.merge(tx, on="doc_id", how="inner")  # inner ≡ old join semantics
+        if m.empty:
+            return pa.table(
+                {
+                    "__pa": pa.array([], pa.int64()),
+                    "__pb": pa.array([], pa.int64()),
+                    "__side": pa.array([], pa.int8()),
+                    "text": pa.array([], pa.string()),
+                    "__pbkt": pa.array([], pa.int32()),
+                }
+            )
+        pa_np = m["__pa"].to_numpy(dtype=np.int64)
+        pb_np = m["__pb"].to_numpy(dtype=np.int64)
+        pkey = pd.util.hash_pandas_object(
+            pd.Series(pa_np * _PAIR_MIX + pb_np), index=False
+        ).to_numpy()
+        return pa.table(
+            {
+                "__pa": pa.array(pa_np, pa.int64()),
+                "__pb": pa.array(pb_np, pa.int64()),
+                "__side": pa.array(m["__side"].to_numpy(dtype=np.int8), pa.int8()),
+                "text": pa.array(m["text"], pa.string(), from_pandas=True),
+                "__pbkt": pa.array(
+                    (pkey % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    attached = unioned.groupby("__dbkt").map_groups(attach, batch_format="pandas")
+
+    out_schema = pa.schema([(a_col, pa.int64()), (b_col, pa.int64())])
+
+    def verify_group(df: pd.DataFrame) -> pa.Table:
+        a_rows = df.loc[df["__side"] == 0, ["__pa", "__pb", "text"]].rename(
+            columns={"text": "__ta"}
+        )
+        b_rows = df.loc[df["__side"] == 1, ["__pa", "__pb", "text"]].rename(
+            columns={"text": "__tb"}
+        )
+        pairs = a_rows.merge(b_rows, on=["__pa", "__pb"], how="inner")
+        if pairs.empty:
+            return out_schema.empty_table()
         tok_cache: dict = {}
         sets: dict = {}
 
@@ -344,16 +454,21 @@ def _verify_jaccard_edges(edges, docs, *, a_col, b_col, threshold, k):
             (
                 _jaccard_sets(sset(a, ta), sset(b, tb)) >= threshold
                 for a, b, ta, tb in zip(
-                    df[a_col], df[b_col], df["__text_a"], df["__text_b"]
+                    pairs["__pa"], pairs["__pb"], pairs["__ta"], pairs["__tb"]
                 )
             ),
             dtype=bool,
-            count=len(df),
+            count=len(pairs),
         )
-        out = df.loc[keep, [c for c in df.columns if not c.startswith("__text")]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out = pairs.loc[keep]
+        return pa.table(
+            {
+                a_col: pa.array(out["__pa"].to_numpy(dtype=np.int64), pa.int64()),
+                b_col: pa.array(out["__pb"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
 
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    return attached.groupby("__pbkt").map_groups(verify_group, batch_format="pandas")
 
 
 def minhash_dedup(
@@ -631,14 +746,15 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 def simhash_text(text: str) -> int:
     """64-bit SimHash over whitespace tokens — scalar reference kernel
-    (tests assert the vectorized batch kernel matches it exactly)."""
+    (tests assert the vectorized batch kernel matches it exactly).
+    Token hashing rides the same :func:`_hash64_tokens` kernel as the
+    batch path so the equality test pins the ACCUMULATION logic."""
     toks = (text or "").split()
     if not toks:
         return 0
     acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    for t, h in zip(toks, _hash64_tokens(toks)):
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     out = 0
     for i in range(64):

@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from rdf2smw_ray.util import table_from_pandas
 import pyarrow.parquet as pq
 
 from rdf2smw_ray.pipelines import relational, windows
@@ -33,15 +35,21 @@ GAZ_PATTERN = r"\b(" + "|".join(DEFAULT_GAZETTEER) + r")\b"
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from rdf2smw_ray.pipelines.io_cache import cached_table
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return cached_table(sf_dir, "documents", columns)
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
+    from rdf2smw_ray.pipelines.io_cache import cached_table
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return cached_table(sf_dir, "embeddings")
+
+
+def _events_cached(sf_dir: str, columns=None):
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+
+    return cached_table(sf_dir, "events", columns)
 
 
 # ---------------------------------------------------------------------------
@@ -77,7 +85,7 @@ def kg_mention_counts(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby("term", sort=False).size().rename("n").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -113,7 +121,7 @@ def kg_cooccur(sf_dir: str):
         df["term_b"] = df.groupby("doc_id")["term"].shift(-1)
         df = df[df["term_b"].notna()].rename(columns={"term": "term_a"})
         g = df.groupby(["term_a", "term_b"], sort=False).size().rename("n").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -171,7 +179,7 @@ def kg_extracted_triples(sf_dir: str):
             .rename("n")
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -609,7 +617,7 @@ def q_docs_per_source(sf_dir: str):
             .agg(n=("doc_id", "size"), chars=("n_chars", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -925,7 +933,7 @@ def q_value_quantiles(sf_dir: str):
 
     qs = [0.1, 0.5, 0.9, 0.99]
     vals = approx_quantiles(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]), "value", qs
+        _events_cached(sf_dir, ["value"]), "value", qs
     )
     return pd.DataFrame({"q": qs, "value": [round(v, 4) for v in vals]})
 
@@ -938,7 +946,7 @@ def q_approx_distinct_users(sf_dir: str):
     from rdf2smw_ray.pipelines.sketches import approx_distinct
 
     est = approx_distinct(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id"
+        _events_cached(sf_dir, ["user_id"]), "user_id"
     )
     return pd.DataFrame({"approx_users": pd.Series([round(est)], dtype="int64")})
 

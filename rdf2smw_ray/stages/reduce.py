@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rdf2smw_ray.util import table_from_pandas
+
 
 def keyed_first(
     ds,
@@ -35,7 +37,7 @@ def keyed_first(
         best = df.sort_values(sort_cols, ascending=ascending, kind="mergesort").drop_duplicates(
             key_cols
         )
-        return pa.Table.from_pandas(best, preserve_index=False)
+        return table_from_pandas(best, preserve_index=False)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(

@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rdf2smw_ray.util import table_from_pandas
+
 from rdf2smw_ray.functions.wikititle import (
     CATEGORY_PREDICATES,
     DATATYPE_TO_HAS_TYPE,
@@ -264,7 +266,7 @@ def _bucketed_left_lookup(left_ds, key: str, side_ds, out_cols: dict, num_partit
                 merged[c] = merged[c].astype("float64")
             else:
                 merged[c] = merged[c].astype(object).where(merged[c].notna(), None)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return table_from_pandas(merged, preserve_index=False)
 
     # union needs one combined schema: pad each side with the other's
     # missing columns as typed nulls

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+
+from rdf2smw_ray.util import table_from_pandas
 import pyarrow.compute as pc
 
 from rdf2smw_ray.schemas import OBJ_IRI
@@ -88,6 +90,6 @@ def canonicalize_sameas(triples):
         df["subj"] = df["subj"].map(lambda u: cmap.get(u, u))
         is_iri = df["obj_kind"] == OBJ_IRI
         df.loc[is_iri, "obj"] = df.loc[is_iri, "obj"].map(lambda u: cmap.get(u, u))
-        return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        return table_from_pandas(df, preserve_index=False).cast(t.schema)
 
     return triples.map_batches(rewrite, batch_format="pyarrow"), canon

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+
+from rdf2smw_ray.util import table_from_pandas
 import pyarrow.compute as pc
 
 from rdf2smw_ray.functions.wikititle import (
@@ -124,7 +126,7 @@ def _sidecar_partial(batch: pa.Table) -> pa.Table:
     out = pd.concat(parts, ignore_index=True)
     out["kind"] = out["kind"].astype("int8")
     out["prio"] = out["prio"].astype("int32")
-    return pa.Table.from_pandas(out, preserve_index=False).cast(_PARTIAL_SCHEMA)
+    return table_from_pandas(out, preserve_index=False).cast(_PARTIAL_SCHEMA)
 
 
 def compute_depths(edges: pd.DataFrame, eval_uris: list[str]) -> dict[str, int]:

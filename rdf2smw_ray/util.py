@@ -16,3 +16,15 @@ def pool(concurrency: int | tuple[int, int]) -> tuple[int, int]:
     if isinstance(concurrency, tuple):
         return concurrency
     return (1, max(1, int(concurrency)))
+
+
+def table_from_pandas(df, preserve_index: bool = False):
+    """``pa.Table.from_pandas`` minus the ``b'pandas'`` schema-metadata
+    dict it attaches: that dict makes ``pa.Schema`` unhashable, which
+    disables Ray's block-schema dedup and logs "Failed to hash the
+    schemas" on every block unify (round-2 VERDICT item 7)."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(
+        df, preserve_index=preserve_index
+    ).replace_schema_metadata(None)

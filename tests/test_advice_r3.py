@@ -164,3 +164,41 @@ def test_approx_quantiles_with_nans():
     want = np.nanquantile(v, qs)
     tol = 100 / 2048 * 2  # two bin widths
     assert np.all(np.abs(np.array(got) - want) < tol), (got, want)
+
+
+# ---------------------------------------------------------------------------
+# stages/bloom: width auto-sizing (round-3 VERDICT item 2)
+# ---------------------------------------------------------------------------
+def test_bloom_bits_for_grows_with_keys():
+    from rdf2smw_ray.stages.bloom import bloom_bits_for
+
+    assert bloom_bits_for(0) == 1 << 20  # floor
+    assert bloom_bits_for(100) == 1 << 20
+    m1 = bloom_bits_for(1_000_000)
+    m2 = bloom_bits_for(10_000_000)
+    assert m1 >= 10 * 1_000_000 and m1 & (m1 - 1) == 0
+    assert m2 > m1
+    assert bloom_bits_for(10**12) == 1 << 27  # cap
+
+
+# ---------------------------------------------------------------------------
+# dedup token hashing: vectorized kernel (round-3 VERDICT item 3)
+# ---------------------------------------------------------------------------
+def test_hash64_tokens_vectorized_quality():
+    """The siphash replacement must be deterministic, 64-bit-spread and
+    collision-free at working-set scale (the blake2b kernel is kept as
+    the quality reference for this transition)."""
+    from rdf2smw_ray.pipelines.dedup import _hash64_tokens, _hash64_tokens_blake
+
+    toks = [f"tok{i}" for i in range(20000)] + ["a", "b", "", "émile", "漢字"]
+    h1 = _hash64_tokens(toks)
+    h2 = _hash64_tokens(list(toks))
+    assert (h1 == h2).all()  # deterministic
+    assert h1.dtype == np.uint64
+    assert len(np.unique(h1)) == len(set(toks))  # no collisions
+    # both kernels agree on the token SET structure (distinctness), the
+    # property every downstream op (shingles/simhash/winnowing) uses
+    hb = _hash64_tokens_blake(toks)
+    assert len(np.unique(hb)) == len(set(toks))
+    # spread: top byte is populated across the range
+    assert len(np.unique(h1 >> np.uint64(56))) > 100

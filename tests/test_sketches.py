@@ -1,6 +1,7 @@
 """HyperLogLog sketch tests: accuracy, mergeability, serialization."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -79,3 +80,47 @@ def test_approx_quantiles_degenerate():
     assert approx_quantiles(const, "v", [0.5]) == [7.0]
     empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     assert math.isnan(approx_quantiles(empty, "v", [0.5])[0])
+
+
+# ---------------------------------------------------------------------------
+# exact_median_per_key (round-3 VERDICT item 1)
+# ---------------------------------------------------------------------------
+def test_exact_median_per_key_matches_pandas():
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import exact_median_per_key
+
+    rng = np.random.RandomState(11)
+    frames = []
+    # mixed regimes: skew (one huge key), duplicates, even/odd counts,
+    # negative values, a constant key
+    frames.append(pd.DataFrame({"k": "big", "v": rng.lognormal(0, 2, 20001)}))
+    frames.append(pd.DataFrame({"k": "even", "v": rng.uniform(-50, 50, 5000)}))
+    frames.append(pd.DataFrame({"k": "dups", "v": rng.randint(0, 7, 3001).astype(float)}))
+    frames.append(pd.DataFrame({"k": "const", "v": np.full(100, 3.25)}))
+    frames.append(pd.DataFrame({"k": "tiny", "v": [1.0, 2.0]}))
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=4)
+    ds = rd.from_pandas(df).repartition(16)
+    # tiny threshold + few bins → forces ≥2 refinement rounds on "big"
+    got = exact_median_per_key(
+        ds, "k", "v", num_bins=16, exact_threshold=64
+    )
+    want = (
+        df.groupby("k")["v"].median().rename("median").reset_index()
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.rename(columns={"k": "k"}), atol=0, rtol=0)
+
+
+def test_exact_median_ignores_nans():
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import exact_median_per_key
+
+    df = pd.DataFrame(
+        {"k": ["a"] * 6 + ["b"] * 3, "v": [1, 2, np.nan, 4, np.nan, 9, 5, np.nan, 7]}
+    )
+    ds = rd.from_pandas(df)
+    got = exact_median_per_key(ds, "k", "v", num_bins=4, exact_threshold=2)
+    want = df.groupby("k")["v"].median().rename("median").reset_index()
+    pd.testing.assert_frame_equal(got, want)
