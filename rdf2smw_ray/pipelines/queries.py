@@ -985,6 +985,7 @@ def all_queries():
         "revenue_per_orderpriority": relational.revenue_per_orderpriority,
         "top_orders_per_nation": relational.top_orders_per_nation,
         "median_value_per_event_type": relational.median_value_per_event_type,
+        "median_value_per_user_bucket": relational.median_value_per_user_bucket,
         "orders_price_tiers": relational.orders_price_tiers,
         # text analysis
         "token_stats": q_token_stats,
@@ -1097,6 +1098,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "ann_ivf_topk": ANN_TOPK_SQL,  # full probe == exact
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
         "median_value_per_event_type": relational.MEDIAN_SQL,
+        "median_value_per_user_bucket": relational.MEDIAN_USER_BUCKET_SQL,
         "orders_price_tiers": relational.PRICE_TIERS_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,

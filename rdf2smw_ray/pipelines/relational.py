@@ -320,17 +320,61 @@ def median_value_per_event_type(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     out = exact_median_per_key(ds, "event_type", "value")
-    out["median_value"] = out["median"].round(2)
+    # floor-to-cents, not round(2): an even-count median is the mean of
+    # two 2-decimal values and lands exactly on a .xx5 boundary, where
+    # numpy (scaled half-even) and DuckDB ROUND/round_even (half-up /
+    # epsilon-snapped ties) disagree by 1 ulp in either direction.
+    # floor(x*100) is one deterministic IEEE op both engines compute
+    # identically on bit-identical median doubles (verified 97/97 keys).
+    out["median_cents"] = np.floor(out["median"].values * 100).astype(np.int64)
     return (
-        out[["event_type", "median_value"]]
+        out[["event_type", "median_cents"]]
         .sort_values("event_type")
         .reset_index(drop=True)
     )
 
 
 MEDIAN_SQL = """
-SELECT event_type, ROUND(CAST(MEDIAN(value) AS DOUBLE), 2) AS median_value
+SELECT event_type,
+       CAST(FLOOR(CAST(MEDIAN(value) AS DOUBLE) * 100) AS BIGINT) AS median_cents
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def median_value_per_user_bucket(sf_dir: str) -> pd.DataFrame:
+    """Exact median over a WIDER key domain (user_id % 97, ~100 keys):
+    the small ``exact_threshold`` forces the histogram-REFINEMENT
+    rounds to actually run at gate scale, value-checked by the SQL
+    oracle — evidence the multi-round path is exact, not just the
+    straight-to-final path."""
+    from rdf2smw_ray.pipelines.sketches import exact_median_per_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ub = (batch["user_id"].to_numpy() % 97).astype(np.int64)
+        return pa.table(
+            {"ubucket": pa.array(ub, pa.int64()), "value": batch["value"]}
+        )
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    out = exact_median_per_key(keyed, "ubucket", "value", num_bins=64, exact_threshold=50)
+    out["ubucket"] = out["ubucket"].astype("int64")
+    # floor-to-cents instead of round(2): the median of an even-count
+    # group lands exactly on a .xx5 boundary where numpy (scaled
+    # half-even) and DuckDB round_even (epsilon-snapped ties) disagree
+    # by 1 ulp; floor(x*100) is a single deterministic IEEE op both
+    # engines compute identically on the bit-identical median doubles.
+    out["median_cents"] = np.floor(out["median"].values * 100).astype(np.int64)
+    return (
+        out[["ubucket", "median_cents"]].sort_values("ubucket").reset_index(drop=True)
+    )
+
+
+MEDIAN_USER_BUCKET_SQL = """
+SELECT CAST(user_id % 97 AS BIGINT) AS ubucket,
+       CAST(FLOOR(CAST(MEDIAN(value) AS DOUBLE) * 100) AS BIGINT) AS median_cents
+FROM events GROUP BY 1 ORDER BY 1
 """
 
 

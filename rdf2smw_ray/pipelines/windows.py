@@ -261,8 +261,6 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     co-shuffle (stages/join.py ``how="anti"``) — the orders side moves
     only per-batch-distinct keys and the driver never holds a
     data-proportional structure (round-1 VERDICT fix #2)."""
-    import ray.data as rd
-
     from rdf2smw_ray.stages.join import bucketed_join
     from rdf2smw_ray.tuning import input_bytes
 
@@ -320,8 +318,6 @@ def customers_without_orders_bloom(sf_dir: str) -> pd.DataFrame:
     the filter drops definitely-unmatched rows without a shuffle; only
     maybe-matched rows pay the exact bucketed anti join. The 100-TB
     shape when the right side is huge but its key set fits m bits."""
-    import ray.data as rd
-
     from rdf2smw_ray.stages.bloom import bloom_anti_join
     from rdf2smw_ray.tuning import input_bytes
 
@@ -348,7 +344,6 @@ def orders_from_europe(sf_dir: str) -> pd.DataFrame:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
-    import ray.data as rd
 
     from rdf2smw_ray.stages.join import bucketed_join
     from rdf2smw_ray.tuning import input_bytes
