@@ -146,23 +146,73 @@ _BAND_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
 def batch_signatures(
     texts: list, a: np.ndarray, b: np.ndarray, k: int, tok_cache: dict | None = None
 ) -> np.ndarray:
-    """(n_docs, num_perm) MinHash signature matrix for a whole batch in
-    ONE universal-hash product + ``minimum.reduceat`` — identical values
-    to per-doc :func:`minhash_signature` (asserted in tests), without
-    the per-doc Python loop over the permutation matrix."""
-    if tok_cache is None:
-        tok_cache = {}
-    sh_list = [shingle_hashes(t, k, _tok_cache=tok_cache) for t in texts]
-    counts = np.array([len(s) for s in sh_list], dtype=np.int64)
+    """(n_docs, num_perm) MinHash signature matrix for a whole batch —
+    identical values to per-doc :func:`minhash_signature` over
+    :func:`shingle_hashes` (asserted in tests), with no per-doc Python
+    hashing: one ``pd.factorize`` pass over the batch's tokens, ONE
+    stable-hash call over the unique tokens, a global rolling
+    xor-rotate over the flat token-hash array with document-boundary
+    masking, first-occurrence dedup per doc via lexsort, and one
+    universal-hash product + ``minimum.reduceat``. ``tok_cache`` is
+    accepted for API compatibility but unused (the factorize pass
+    already hashes each distinct token once per batch)."""
+    import itertools
+
     n = len(texts)
     num_perm = len(a)
     sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    tok_lists = [(t or "").split() for t in texts]
+    tcounts = np.array([len(x) for x in tok_lists], dtype=np.int64)
+    total = int(tcounts.sum())
+    if total == 0:
+        return sigs
+    flat_toks = pd.Series(
+        list(itertools.chain.from_iterable(tok_lists)), dtype=object
+    )
+    codes, uniq = pd.factorize(flat_toks)
+    th = _hash64_tokens(list(uniq))[codes]
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), tcounts)
+    ends = np.cumsum(tcounts)
+    starts = ends - tcounts
+    sh_doc: list[np.ndarray] = []
+    sh_val: list[np.ndarray] = []
+    # docs with >= k tokens: every global window of k whose endpoints
+    # fall in the same doc is a shingle of that doc
+    if total >= k and (tcounts >= k).any():
+        nw = total - k + 1
+        acc = np.zeros(nw, dtype=np.uint64)
+        for j in range(k):
+            h = th[j : nw + j]
+            rot = np.uint64((j * 7 + 1) % 63 + 1)
+            acc ^= ((h << rot) | (h >> (np.uint64(64) - rot))) * _SHINGLE_MIX
+        valid = doc_idx[:nw] == doc_idx[k - 1 :]
+        sh_doc.append(doc_idx[:nw][valid])
+        sh_val.append(acc[valid])
+    # docs with 0 < tokens < k: scalar path clamps k to the doc length,
+    # yielding exactly one whole-doc shingle
+    for d in np.where((tcounts > 0) & (tcounts < k))[0]:
+        hsub = th[starts[d] : ends[d]]
+        acc1 = np.zeros(1, dtype=np.uint64)
+        for j in range(len(hsub)):
+            h = hsub[j : j + 1]
+            rot = np.uint64((j * 7 + 1) % 63 + 1)
+            acc1 ^= ((h << rot) | (h >> (np.uint64(64) - rot))) * _SHINGLE_MIX
+        sh_doc.append(np.array([d], dtype=np.int64))
+        sh_val.append(acc1)
+    if not sh_doc:
+        return sigs
+    doc_all = np.concatenate(sh_doc)
+    val_all = np.concatenate(sh_val)
+    order = np.lexsort((val_all, doc_all))
+    doc_s, val_s = doc_all[order], val_all[order]
+    first = np.ones(len(doc_s), dtype=bool)
+    first[1:] = (doc_s[1:] != doc_s[:-1]) | (val_s[1:] != val_s[:-1])
+    doc_u, val_u = doc_s[first], val_s[first]
+    counts = np.bincount(doc_u, minlength=n)
     nz = counts > 0
-    if nz.any():
-        flat = np.concatenate([s for s in sh_list if len(s)])
-        prod = (flat[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-        offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
-        sigs[nz] = np.minimum.reduceat(prod, offsets, axis=1).T
+    prod = (val_u[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+    offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    sigs[nz] = np.minimum.reduceat(prod, offsets, axis=1).T
     return sigs
 
 
