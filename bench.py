@@ -271,8 +271,10 @@ def main() -> None:
 
         # best-of-N per level: this shared VM has multi-x ambient
         # variance between runs (documented in BASELINE.md); the
-        # minimum is the standard contention-robust estimator
-        reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+        # minimum is the standard contention-robust estimator. 3 reps:
+        # at 2 a single slow ambient window on one leg still skewed a
+        # measured efficiency 0.83 → 0.71 (round-3 BASELINE.md)
+        reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
 
         def run_once(ncpu: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

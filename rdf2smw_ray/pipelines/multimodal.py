@@ -3,11 +3,15 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 The Ray-side plumbing — schemas, small batch sizes for wide binary
 rows, actor signatures, output layouts — is real and tested. The
-codec boundary is explicit: this container ships no image/audio
-libraries, so ``decode_payload`` implements a deterministic fake codec
-(documented header format) and ``decode_with_library`` raises
-``NotImplementedError`` with the integration point spelled out. Swap
-the codec, keep the pipeline.
+codec boundary is now REAL for two of the three modalities without any
+third-party dependency: images are genuine 8-bit BMP files and audio
+is genuine PCM16 WAV, both encoded here and decoded by
+``decode_with_library`` (pure numpy/struct BMP parser; stdlib ``wave``
+for WAV). Video remains the honest boundary — there is no stdlib
+video codec — so video payloads use the deterministic fake codec
+(``decode_payload``, documented header format) and
+``decode_with_library`` raises ``NotImplementedError`` for compressed
+formats (JPEG/PNG/MP3/MP4), with the integration point spelled out.
 
 Scale notes: binary payloads are wide — stages default to
 ``batch_size=64`` so batch × concurrency stays within worker heaps;
@@ -18,6 +22,9 @@ rule as the html column in extract_text).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -36,11 +43,51 @@ MEDIA_SCHEMA = pa.schema(
 
 _MAGIC = b"FAKEMEDIA1"
 
+_WAV_RATE = 8000  # 8 samples / ms — keeps duration_ms == n_samples / 8
+
+
+def _seed_bytes(i: int, n: int) -> bytes:
+    """Deterministic pseudo-content for media item ``i``."""
+    seed = hashlib.blake2b(f"media-{i}".encode(), digest_size=8).digest()
+    reps = -(-n // len(seed))
+    return (seed * reps)[:n]
+
+
+def encode_bmp_gray8(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 → a real 8-bit grayscale BMP file (BITMAPINFOHEADER
+    + 256-entry grayscale palette, bottom-up rows padded to 4 bytes) —
+    openable by any image viewer/library."""
+    h, w = pixels.shape
+    row = (w + 3) & ~3  # rows padded to a 4-byte boundary
+    palette = np.zeros((256, 4), dtype=np.uint8)
+    palette[:, 0] = palette[:, 1] = palette[:, 2] = np.arange(256)
+    data_offset = 14 + 40 + 1024
+    image_size = row * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + image_size, 0, 0, data_offset
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, image_size, 2835, 2835, 256, 0)
+    rows = np.zeros((h, row), dtype=np.uint8)
+    rows[:, :w] = pixels[::-1]  # bottom-up
+    return header + palette.tobytes() + rows.tobytes()
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = _WAV_RATE) -> bytes:
+    """1-D int16 → a real mono PCM16 WAV file (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
 
 def synth_media_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic fake media derived from an id column (use the
-    embeddings table's ``vec_id`` as the id source). Payload = magic +
-    metadata header + blake2b-seeded bytes."""
+    """Deterministic media derived from an id column (use the
+    embeddings table's ``vec_id`` as the id source). Images are REAL
+    8-bit BMP files and audio is REAL PCM16 WAV (both round-trip
+    through ``decode_with_library``); video payloads use the fake
+    codec's documented header format (no stdlib video codec exists)."""
     ids = batch[batch.column_names[0]].to_pylist()
     kinds, mimes, payloads, widths, heights, durs = [], [], [], [], [], []
     for i in ids:
@@ -49,12 +96,22 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
         w = 32 + (i % 8) * 16 if kind != "audio" else 0
         h = 32 + (i % 5) * 16 if kind != "audio" else 0
         d = (500 + i % 4000) if kind != "image" else 0
-        seed = hashlib.blake2b(f"media-{i}".encode(), digest_size=8).digest()
-        body = (seed * 64)[: 256 + i % 128]
-        header = _MAGIC + np.array([i, w, h, d], dtype=np.int32).tobytes()
+        if kind == "image":
+            px = np.frombuffer(_seed_bytes(i, w * h), dtype=np.uint8).reshape(h, w)
+            payload, mime = encode_bmp_gray8(px), "image/bmp"
+        elif kind == "audio":
+            n = d * (_WAV_RATE // 1000)
+            samples = (
+                np.frombuffer(_seed_bytes(i, 2 * n), dtype="<i2").astype(np.int16)
+            )
+            payload, mime = encode_wav_pcm16(samples), "audio/wav"
+        else:  # video: fake codec (documented boundary)
+            body = _seed_bytes(i, 256 + i % 128)
+            payload = _MAGIC + np.array([i, w, h, d], dtype=np.int32).tobytes() + body
+            mime = "video/fake"
         kinds.append(kind)
-        mimes.append({"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}[kind])
-        payloads.append(header + body)
+        mimes.append(mime)
+        payloads.append(payload)
         widths.append(w)
         heights.append(h)
         durs.append(d)
@@ -94,15 +151,55 @@ def decode_payload(payload: bytes) -> np.ndarray:
     return np.tile(body, reps)[:n]
 
 
-def decode_with_library(payload: bytes, mime: str) -> np.ndarray:
-    """Integration point for a real codec (PIL / torchaudio / pyav).
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real BMP decoder (pure numpy/struct): uncompressed 8-bit
+    BITMAPINFOHEADER files, bottom-up or top-down rows, 4-byte row
+    padding. Returns (h, w) uint8."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bitcount, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bitcount != 8 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 8-bit BMP supported (got bitcount={bitcount}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row = (w + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row * h, offset=data_offset
+    ).reshape(h, row)[:, :w]
+    return rows if top_down else rows[::-1]
 
-    Not available in this container — raise with the contract: must
-    return uint8 ndarray (h, w[, c]) for images / frames, 1-D samples
-    for audio.
-    """
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Real WAV decoder (stdlib ``wave``): mono/stereo PCM16 →
+    1-D int16 samples (stereo is averaged to mono)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV supported")
+        data = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
+        if f.getnchannels() > 1:
+            data = (
+                data.reshape(-1, f.getnchannels()).mean(axis=1).astype(np.int16)
+            )
+    return data
+
+
+def decode_with_library(payload: bytes, mime: str) -> np.ndarray:
+    """Real-codec entry point. BMP and WAV decode here with no
+    third-party dependency; compressed formats (JPEG/PNG/MP3/MP4)
+    remain the documented integration point — plug PIL.Image.open /
+    soundfile.read / av decode behind the same contract: uint8 ndarray
+    (h, w[, c]) for images / frames, 1-D samples for audio."""
+    if mime == "image/bmp" or payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if mime == "audio/wav" or payload[:4] == b"RIFF":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "real codecs are not installed in this environment; "
+        f"no codec for {mime!r} in this environment; "
         "plug PIL.Image.open / soundfile.read / av decode here"
     )
 
@@ -129,9 +226,19 @@ class MediaDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, kinds = batch["media_id"].to_pylist(), batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
+        mimes = (
+            batch["mime"].to_pylist()
+            if "mime" in batch.column_names
+            else [""] * len(ids)
+        )
         mean_v, std_v, n_frames, feat_dim = [], [], [], []
-        for i, kind, p in zip(ids, kinds, payloads):
-            arr = decode_payload(p)
+        for i, kind, p, mime in zip(ids, kinds, payloads, mimes):
+            # real codecs (BMP/WAV) first; fake-codec payloads by magic
+            arr = (
+                decode_payload(p)
+                if p.startswith(_MAGIC)
+                else decode_with_library(p, mime)
+            )
             if kind == "video":
                 # deterministic frame sampling: reuse the decoded frame
                 # shifted per sampled frame index

@@ -71,10 +71,28 @@ def _extract_batch(batch: pa.Table) -> pa.Table:
     return _DEFAULT_EXTRACTOR(batch)
 
 
-def extract_text(web_pages, *, concurrency: int | tuple[int, int] | None = None, batch_size: int = 256):
+def _extract_batch_robust(batch: pa.Table) -> pa.Table:
+    from rdf2smw_ray.stages.html_text import RobustHtmlTextExtractor
+
+    return RobustHtmlTextExtractor()(batch)
+
+
+def extract_text(
+    web_pages,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+    engine: str = "synthetic",
+):
     """web_pages Dataset → same rows with ``text`` re-derived from
     ``html`` and the html column dropped. Small batch_size: html rows
     are wide (binary payloads).
+
+    ``engine="synthetic"`` (default): the byte-exact inverse of the
+    synthetic page envelope — the bench/driver contract.
+    ``engine="robust"``: the tolerant real-HTML tokenizer
+    (:mod:`rdf2smw_ray.stages.html_text`) for pages not produced by
+    the synthetic generator.
 
     Runs as stateless tasks by default — the extractor state (a few
     compiled regexes) lives at module level, built once per worker
@@ -83,12 +101,18 @@ def extract_text(web_pages, *, concurrency: int | tuple[int, int] | None = None,
     pool (the right shape once the extractor loads real models)."""
     from rdf2smw_ray.util import pool
 
+    if engine == "robust":
+        from rdf2smw_ray.stages.html_text import RobustHtmlTextExtractor
+
+        fn, cls = _extract_batch_robust, RobustHtmlTextExtractor
+    else:
+        fn, cls = _extract_batch, HtmlTextExtractor
     if concurrency is None:
         return web_pages.map_batches(
-            _extract_batch, batch_format="pyarrow", batch_size=batch_size
+            fn, batch_format="pyarrow", batch_size=batch_size
         )
     return web_pages.map_batches(
-        HtmlTextExtractor,
+        cls,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool(concurrency),
