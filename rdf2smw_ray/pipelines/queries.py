@@ -221,6 +221,47 @@ FROM t GROUP BY subj, pred, obj ORDER BY subj, pred, obj
 """
 
 
+def kg_extracted_triples_robust(sf_dir: str):
+    """Same front half as :func:`kg_extracted_triples`, but the text is
+    recovered from the html by the REAL-HTML tokenizer engine
+    (``extract_text(engine="robust")``) instead of the byte-exact
+    regex inverse. The pattern extractor is line-based and the robust
+    engine's normalization only drops blank lines / collapses
+    horizontal whitespace, so the extracted (subj, pred, obj) multiset
+    must be IDENTICAL — the same doc_id-arithmetic oracle value-checks
+    the whole robust front half end-to-end."""
+    from rdf2smw_ray.sources.webpages import synth_web_pages
+    from rdf2smw_ray.stages.extract_text import extract_text
+    from rdf2smw_ray.stages.extract_triples import extract_triples
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    pages = synth_web_pages(docs)
+    triples = extract_triples(
+        extract_text(pages, concurrency=2, engine="robust"), concurrency=2
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["subj", "pred", "obj"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return table_from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        triples.map_batches(partial, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+
 def kg_page_facts(sf_dir: str):
     """The WHOLE flagship pipeline under a VALUE-checked oracle: web
     pages → triples → sidecar → resolve → fold, exploded to
@@ -501,6 +542,57 @@ TOKEN_STATS_SQL = r"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_robust_extract(sf_dir: str):
+    """END-TO-END oracle for the REAL-HTML extractor
+    (stages/html_text.py — the tolerant html.parser engine, NOT the
+    byte-exact regex inverse): synthesize each doc's web-page envelope
+    (nav/script/style/footer noise + escaped text inside <main>), run
+    robust extraction, count the extracted lines. The DuckDB oracle
+    recomputes the expected count from pure doc_id arithmetic (the
+    generator's grammar-sentence formula) plus the document's own
+    non-empty line count, so any tokenizer slip — content dropped,
+    boilerplate kept, an entity mis-decoded, a blank line surviving —
+    breaks the hash."""
+    from rdf2smw_ray.sources.webpages import synth_batch
+    from rdf2smw_ray.stages.html_text import robust_extract_text
+
+    def extract_counts(batch: pa.Table) -> pa.Table:
+        pages = synth_batch(batch)
+        counts = [
+            (rt.count("\n") + 1 if rt else 0)
+            for rt in (
+                robust_extract_text(h) for h in pages["html"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array(counts, pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(extract_counts, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# grammar-line formula mirrors sources/webpages.py::grammar_sentences;
+# trim set mirrors html_text._normalize's horizontal-whitespace class
+ROBUST_EXTRACT_SQL = """
+SELECT doc_id,
+  (5 + CASE WHEN doc_id % 11 < 7 THEN 1 ELSE 0 END
+     + CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END
+     + CASE WHEN doc_id % 50 = 0 THEN 2 ELSE 0 END
+     + length(list_filter(string_split(text, chr(10)),
+         x -> trim(x, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) <> ''))
+  ) AS n_lines
 FROM documents ORDER BY doc_id
 """
 
@@ -971,6 +1063,7 @@ def all_queries():
         "kg_mention_counts": kg_mention_counts,
         "kg_cooccur": kg_cooccur,
         "kg_extracted_triples": kg_extracted_triples,
+        "kg_extracted_triples_robust": kg_extracted_triples_robust,
         "kg_page_facts": kg_page_facts,
         "kg_pagerank": kg_pagerank,
         "kg_category_filter": kg_category_filter,
@@ -990,6 +1083,7 @@ def all_queries():
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        "robust_extract": q_robust_extract,
         "quality_score": q_quality,
         "normalize_text": q_normalize_text,
         "docs_per_source": q_docs_per_source,
@@ -1033,6 +1127,7 @@ def all_oracle_sql():
         "kg_mention_counts": KG_MENTION_COUNTS_SQL,
         "kg_cooccur": KG_COOCCUR_SQL,
         "kg_extracted_triples": KG_EXTRACTED_TRIPLES_SQL,
+        "kg_extracted_triples_robust": KG_EXTRACTED_TRIPLES_SQL,
         "kg_page_facts": KG_PAGE_FACTS_SQL,
         "kg_pagerank": KG_PAGERANK_SQL,
         "kg_category_filter": KG_CATEGORY_FILTER_SQL,
@@ -1080,6 +1175,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         "token_stats": TOKEN_STATS_SQL,
         "bpe_token_stats": BPE_TOKEN_STATS_SQL,
+        "robust_extract": ROBUST_EXTRACT_SQL,
         "quality_score": QUALITY_SQL,
         "normalize_text": NORMALIZE_SQL,
         "docs_per_source": DOCS_PER_SOURCE_SQL,
