@@ -697,6 +697,42 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM (
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms: tf in-batch, df via combiner +
+    groupby, tf⋈df on a bucketed token co-shuffle, per-doc top-k as
+    combiner + coarse-bucketed final. N from parquet metadata (no
+    extra Ray pass)."""
+    from rdf2smw_ray.pipelines.textstats import tfidf_top_terms
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return tfidf_top_terms(_docs(sf_dir, columns=["doc_id", "text"]), n_docs, k=3)
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS token FROM t) WHERE token <> ''
+  GROUP BY 1, 2
+),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(w)) AS token FROM t)
+  WHERE token <> '' GROUP BY 1
+),
+s AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df.df), 6) AS score
+  FROM tf JOIN df USING (token)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+  FROM s
+)
+SELECT doc_id, token, score FROM r WHERE rn <= 3 ORDER BY doc_id, token
+"""
+
+
 def q_docs_per_source(sf_dir: str):
     """Per-source corpus stats: partial per-batch reduce → tiny final
     groupby."""
@@ -1090,6 +1126,7 @@ def all_queries():
         "sample_docs": q_sample_docs,
         "top_bigrams": q_top_bigrams,
         "token_doc_freq": q_token_doc_freq,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         # dedup
@@ -1182,6 +1219,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "sample_docs": SAMPLE_DOCS_SQL,
         "top_bigrams": TOP_BIGRAMS_SQL,
         "token_doc_freq": TOKEN_DOC_FREQ_SQL,
+        "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "lang_id": LANG_ID_SQL,
         # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,
         # embedding_near_dup: blake2b/seeded-plane-derived → rows-only;

@@ -178,6 +178,115 @@ def top_bigrams(docs, *, k: int = 20):
     return out.reset_index(drop=True)
 
 
+def tfidf_top_terms(docs, n_docs: int, *, k: int = 3, num_buckets: int | None = None):
+    """Top-k TF-IDF terms per document (score = tf · ln(N/df), rounded
+    to 6 decimals; ties broken by token ascending).
+
+    100-TB shape: tf is computed inside the batch (a document's tokens
+    live in its own row); df is the distinct-per-doc combiner +
+    ``groupby(token).sum`` (same partial as :func:`token_doc_freq`,
+    untruncated); tf and df meet in a bucketed co-shuffle on token (the
+    vocabulary never sits on the driver); the per-doc top-k runs as a
+    per-batch combiner (k best per doc per batch is a valid partial of
+    the global per-doc top-k) followed by one coarse-bucketed final
+    selection keyed by doc hash.
+    """
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        out_id, out_tok, out_tf = [], [], []
+        for i, toks in zip(ids, texts.str.split()):
+            if not toks:
+                continue
+            vc = pd.Series(toks, dtype=object).value_counts()
+            out_id.extend([i] * len(vc))
+            out_tok.extend(vc.index.tolist())
+            out_tf.extend(vc.to_numpy().tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        flat: list[str] = []
+        for t in texts.str.split():
+            flat.extend(set(t))
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "df": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    tf_rows = docs.map_batches(tf_partial, batch_format="pyarrow")
+    df_rows = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    joined = bucketed_join(
+        tf_rows,
+        df_rows,
+        key="token",
+        how="inner",
+        right_cols={"df": "df"},
+        num_buckets=num_buckets,
+    )
+
+    def score_and_trim(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["score"] = np.round(
+            df["tf"].to_numpy(np.float64)
+            * np.log(float(n_docs) / df["df"].to_numpy(np.float64)),
+            6,
+        )
+        best = (
+            df.sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        return table_from_pandas(
+            best[["doc_id", "token", "score"]], preserve_index=False
+        )
+
+    trimmed = joined.map_batches(score_and_trim, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch["doc_id"].to_pandas().astype("int64"), index=False
+        ).to_numpy()
+        return batch.append_column(
+            "__b", pa.array((h % 64).astype(np.int32), pa.int32())
+        )
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        best = (
+            df.sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        return table_from_pandas(
+            best[["doc_id", "token", "score"]], preserve_index=False
+        )
+
+    out = (
+        trimmed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
 def token_doc_freq(docs, *, k: int = 50):
     """Document frequency per token (distinct-per-doc combiner →
     groupby sum → top-k) — the idf building block."""
