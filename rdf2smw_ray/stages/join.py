@@ -35,6 +35,18 @@ from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
 _BUCKET = "__jbucket"
 _SIDE = "__jside"
 
+# arrow int → pandas nullable-int dtype (exact through null padding)
+_NULLABLE_INTS = {
+    pa.int8(): pd.Int8Dtype(),
+    pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(),
+    pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(),
+    pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(),
+    pa.uint64(): pd.UInt64Dtype(),
+}
+
 
 def _as_arrow_type(t) -> pa.DataType:
     """Dataset.schema().types yields numpy dtypes / Python classes for
@@ -168,9 +180,8 @@ def bucketed_join(
 
     drop = [_BUCKET, _SIDE]
 
-    # fixed output schema: the pad/union nulls coerce ints to floats in
-    # the per-bucket pandas frames, so every merge output is cast back
-    # to the original arrow types (NaN → typed null via from_pandas)
+    # fixed output schema: every merge output is cast back to the
+    # original arrow types (NA → typed null via from_pandas)
     out_fields = [(n, t) for n, t in left_types.items()]
     if not keys_only:
         out_fields += [(dst, right_types[src]) for src, dst in payload.items()]
@@ -179,13 +190,25 @@ def bucketed_join(
     def _typed(df: pd.DataFrame) -> pa.Table:
         return pa.Table.from_arrays(
             [
-                pa.array(df[n].to_numpy() if df[n].dtype != object else df[n], type=t, from_pandas=True)
+                pa.array(
+                    df[n]
+                    if df[n].dtype == object
+                    or isinstance(df[n].dtype, pd.api.extensions.ExtensionDtype)
+                    else df[n].to_numpy(),
+                    type=t,
+                    from_pandas=True,
+                )
                 for n, t in out_fields
             ],
             schema=out_schema,
         )
 
-    def merge(df: pd.DataFrame) -> pa.Table:
+    def merge(tbl: pa.Table) -> pa.Table:
+        # nullable-Int mapping: the union's null padding would otherwise
+        # coerce int columns to float64 in pandas, silently corrupting
+        # values above 2^53 (seq keys, nanosecond timestamps) — the
+        # extension dtypes keep 64-bit integers exact through the merge
+        df = tbl.to_pandas(types_mapper=_NULLABLE_INTS.get)
         right = df[df[_SIDE] == 1]
         left = df[df[_SIDE] == 0].drop(columns=drop)
         if keys_only:
@@ -197,7 +220,7 @@ def bucketed_join(
         merged = left.merge(right, on=key, how="left" if how == "left" else "inner")
         return _typed(merged)
 
-    return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pandas")
+    return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")
 
 
 def drop_if_empty(df: pd.DataFrame, columns: dict[str, str]) -> pd.DataFrame:

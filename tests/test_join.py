@@ -166,3 +166,36 @@ def test_join_queries_driver_reads_only_dimension_tables(monkeypatch):
     assert big == [], f"driver read data-proportional tables: {big}"
     for p in seen:
         assert "nation" in p or "region" in p, p
+
+
+def test_join_preserves_large_int64_exactly(ray_session):
+    """Null padding in the bucket union must not round int64 values
+    above 2^53 through float64 (seq keys / ns timestamps regression:
+    adjacent values collapsed to one float, breaking downstream
+    ordering)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    base = 960130463883591680  # ~2^59.7: float64 ulp at this magnitude is 128
+    seqs = np.arange(base, base + 50, dtype=np.int64)
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(50) % 7, pa.int64()),
+                "seq": pa.array(seqs, pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+                  "v": pa.array(list("abcdefg"), pa.string())})
+    )
+    for how in ("inner", "left", "semi"):
+        out = bucketed_join(
+            left, right, key="k", how=how, num_buckets=4
+        ).to_pandas()
+        assert sorted(out["seq"]) == sorted(seqs.tolist()), how
