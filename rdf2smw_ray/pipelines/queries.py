@@ -377,6 +377,87 @@ ORDER BY title, property, value
 """
 
 
+def kg_incremental(sf_dir: str):
+    """Incremental KG update under the SAME arithmetic oracle as
+    ``kg_page_facts``: build the KG from the even-doc_id half of the
+    corpus, apply the odd half as a delta via
+    ``pipelines/incremental.py`` (sidecar-diff invalidation → refold
+    only affected subjects), upsert the delta output over the base
+    page store, and explode to (title, property, value) fact rows —
+    which must equal a FULL-corpus build exactly. The even/odd split
+    guarantees cross-page invalidation: base doc d references entity
+    e2=(3d+1)%1009, which delta doc d+673 (odd when d is even) labels,
+    so the delta retitles entities base pages already render.
+
+    The pandas upsert/explode here is the verification harness, not
+    the operator — `incremental_update` itself streams, and a
+    production upsert is a partitioned-parquet overwrite keyed by
+    subj. Hub exclusions identical to kg_page_facts (blake2b
+    first-wins between the hub's two labels is not SQL-expressible)."""
+    import pyarrow.compute as pc
+
+    from rdf2smw_ray.pipelines.incremental import incremental_update
+    from rdf2smw_ray.schemas import URITYPE_PREDICATE
+    from rdf2smw_ray.sources.webpages import synth_web_pages
+    from rdf2smw_ray.stages.extract_text import extract_text
+    from rdf2smw_ray.stages.extract_triples import extract_triples
+    from rdf2smw_ray.stages.fold import fold_pages
+    from rdf2smw_ray.stages.resolve import resolve_triples
+    from rdf2smw_ray.stages.sidecar import build_sidecar
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def half(parity: int):
+        part = docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+        return extract_triples(extract_text(synth_web_pages(part))).materialize()
+
+    base_tr, delta_tr = half(0), half(1)
+    prev_sidecar = build_sidecar(base_tr)
+
+    # the base run's content-page store (what a prior full run persisted)
+    base_pages = (
+        fold_pages(resolve_triples(base_tr, prev_sidecar, concurrency=2))
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t["page_type"], URITYPE_PREDICATE)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+
+    inc = incremental_update(base_tr, delta_tr, prev_sidecar, resolver_concurrency=2)
+    upd = inc["content"].to_pandas()
+
+    cols = ["subj", "title", "facts", "categories"]
+    store = {r.subj: r for r in base_pages[cols].itertuples()}
+    store.update({r.subj: r for r in upd[cols].itertuples()})
+
+    hub_subj = _ENT + "0"
+    hub_titles = {"The Hub", "Ent 0 Label", "Entity_0"}
+    t, p, v = [], [], []
+    for r in store.values():
+        if r.subj == hub_subj:
+            continue
+        for f in r.facts:
+            if f["property"] == "Refers_to" or (
+                f["property"] == "Works_with" and f["value"] in hub_titles
+            ):
+                continue
+            t.append(r.title)
+            p.append(f["property"])
+            v.append(f["value"])
+        for c in r.categories:
+            t.append(r.title)
+            p.append("Category")
+            v.append(c)
+    rows = pd.DataFrame({"title": t, "property": p, "value": v}).drop_duplicates()
+    return rows.sort_values(["title", "property", "value"]).reset_index(drop=True)
+
+
 def kg_category_filter(sf_dir: str):
     """CategoryFilterer under a value-checked oracle: keep pages whose
     categories intersect the allowlist {title(Class_0), title(Class_1)}
@@ -1101,6 +1182,7 @@ def all_queries():
         "kg_extracted_triples": kg_extracted_triples,
         "kg_extracted_triples_robust": kg_extracted_triples_robust,
         "kg_page_facts": kg_page_facts,
+        "kg_incremental": kg_incremental,
         "kg_pagerank": kg_pagerank,
         "kg_category_filter": kg_category_filter,
         "kg_pages": kg_pages,
@@ -1166,6 +1248,7 @@ def all_oracle_sql():
         "kg_extracted_triples": KG_EXTRACTED_TRIPLES_SQL,
         "kg_extracted_triples_robust": KG_EXTRACTED_TRIPLES_SQL,
         "kg_page_facts": KG_PAGE_FACTS_SQL,
+        "kg_incremental": KG_PAGE_FACTS_SQL,  # upsert(base, delta) ≡ full build
         "kg_pagerank": KG_PAGERANK_SQL,
         "kg_category_filter": KG_CATEGORY_FILTER_SQL,
         # kg_pages: non-SQL-expressible (full pipeline) → rows-only
