@@ -814,6 +814,92 @@ SELECT doc_id, token, score FROM r WHERE rn <= 3 ORDER BY doc_id, token
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    from rdf2smw_ray.pipelines.textstats import repetition_stats
+
+    out = repetition_stats(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+REPETITION_STATS_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, MAX(c) AS maxc, SUM(c) AS n, COUNT(*) AS nuniq FROM tc GROUP BY 1
+),
+g AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS gram
+  FROM t WHERE len(w) >= 2
+),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+gagg AS (
+  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS tot
+  FROM gc GROUP BY 1
+)
+SELECT a.doc_id,
+       ROUND(maxc / CAST(n AS DOUBLE), 6) AS top_token_frac,
+       ROUND(COALESCE(dup / CAST(tot AS DOUBLE), 0), 6) AS dup_2gram_frac,
+       ROUND(nuniq / CAST(n AS DOUBLE), 6) AS unique_token_ratio
+FROM agg a LEFT JOIN gagg USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob(sf_dir: str):
+    from rdf2smw_ray.pipelines.textstats import unigram_logprob
+
+    out = unigram_logprob(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    out = out.dropna(subset=["avg_logprob"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq)
+SELECT doc_id, ROUND(AVG(ln(c / (SELECT n FROM tot))), 6) AS avg_logprob
+FROM tok JOIN freq USING (token) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination with source 'src0' as the held-out
+    eval set. n=5 (not the production 13) because the synthetic corpus
+    is a ~30-word vocabulary: 13-grams never collide there, while
+    5-grams produce a sparse non-trivial hit set — the operator takes
+    n as a parameter."""
+    from rdf2smw_ray.pipelines.decontam import decontaminate
+
+    out = decontaminate(
+        _docs(sf_dir, columns=["doc_id", "text", "source"]),
+        bench_source="src0",
+        n=5,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DECONTAMINATE_SQL = r"""
+WITH t AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id, source,
+         [array_to_string(w[i:i+4], ' ') FOR i IN generate_series(1, len(w)-4)] AS gs
+  FROM t
+),
+bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE source <> 'src0') tr
+  JOIN bench USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_docs_per_source(sf_dir: str):
     """Per-source corpus stats: partial per-batch reduce → tiny final
     groupby."""
@@ -1209,6 +1295,9 @@ def all_queries():
         "top_bigrams": q_top_bigrams,
         "token_doc_freq": q_token_doc_freq,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "repetition_stats": q_repetition_stats,
+        "unigram_logprob": q_unigram_logprob,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         # dedup
@@ -1303,6 +1392,9 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "top_bigrams": TOP_BIGRAMS_SQL,
         "token_doc_freq": TOKEN_DOC_FREQ_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+        "repetition_stats": REPETITION_STATS_SQL,
+        "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+        "decontaminate": DECONTAMINATE_SQL,
         "lang_id": LANG_ID_SQL,
         # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,
         # embedding_near_dup: blake2b/seeded-plane-derived → rows-only;

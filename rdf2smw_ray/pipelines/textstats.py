@@ -484,3 +484,131 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprints(docs):
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style filters): the standard
+# web-corpus repetition heuristics over whitespace tokens. One batch =
+# one flat token frame; everything is pandas-C groupbys, no per-doc
+# Python loop.
+# ---------------------------------------------------------------------------
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, top_token_frac (most frequent token's share of all
+    tokens), dup_2gram_frac (share of 2-gram positions whose 2-gram
+    occurs more than once in the doc), unique_token_ratio. Rounded to
+    6 decimals (cross-engine float contract)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+    toks = texts.str.split()
+    counts = toks.map(len).to_numpy()
+    n = len(ids)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    flat = np.concatenate([t for t in toks if t] or [[]]).astype(object)
+
+    out = {
+        "top_token_frac": np.zeros(n, dtype=np.float64),
+        "dup_2gram_frac": np.zeros(n, dtype=np.float64),
+        "unique_token_ratio": np.zeros(n, dtype=np.float64),
+    }
+    if len(flat):
+        df = pd.DataFrame({"d": doc_idx, "t": flat})
+        tc = df.groupby(["d", "t"], sort=False).size()
+        per_doc = tc.groupby(level=0)
+        maxc = per_doc.max()
+        nuniq = per_doc.size()
+        ntok = per_doc.sum()
+        out["top_token_frac"][maxc.index] = (maxc / ntok).round(6)
+        out["unique_token_ratio"][nuniq.index] = (nuniq / ntok).round(6)
+
+        # 2-grams: adjacent pairs within each doc (mask the seam
+        # between consecutive docs in the flat array)
+        if len(flat) > 1:
+            same = doc_idx[:-1] == doc_idx[1:]
+            g = pd.DataFrame(
+                {
+                    "d": doc_idx[:-1][same],
+                    "g": pd.Series(flat[:-1][same]) + " " + pd.Series(flat[1:][same]),
+                }
+            )
+            if len(g):
+                gc = g.groupby(["d", "g"], sort=False).size()
+                per = gc.groupby(level=0)
+                dup = gc.where(gc > 1, 0).groupby(level=0).sum()
+                tot = per.sum()
+                out["dup_2gram_frac"][dup.index] = (dup / tot).round(6)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "top_token_frac": pa.array(out["top_token_frac"], pa.float64()),
+            "dup_2gram_frac": pa.array(out["dup_2gram_frac"], pa.float64()),
+            "unique_token_ratio": pa.array(out["unique_token_ratio"], pa.float64()),
+        }
+    )
+
+
+def repetition_stats(docs):
+    return docs.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM scoring: the simplest corpus-level perplexity proxy a
+# training-data pipeline runs (real pipelines swap in a KenLM; the
+# two-pass shape — combiner-first frequency build, broadcast score
+# table, streamed scoring pass — is identical).
+# ---------------------------------------------------------------------------
+def token_frequencies(docs):
+    """Global (token, c) counts: per-batch value_counts combiner →
+    groupby(token) sum. Returns the aggregated Dataset (one row per
+    vocabulary entry — vocabulary-proportional, not corpus-
+    proportional)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        vc = texts.str.split().explode().dropna().value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "c": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def unigram_logprob(docs):
+    """doc_id, avg_logprob = mean over token positions of
+    ln(count(token) / total_tokens), frequencies from the SAME corpus
+    (no OOV by construction). The log-prob table is broadcast once
+    (``ray.put``) and read per batch; scoring is a vectorized
+    Series.map + groupby mean.
+
+    Scale note: the broadcast table is vocabulary-proportional. At
+    open-web scale cap it with the heavy-hitters machinery
+    (``top_bigrams``-style) plus an OOV floor; the scoring pass is
+    unchanged."""
+    import ray
+
+    freq = token_frequencies(docs).to_pandas()
+    total = float(freq["c"].sum())
+    logp = dict(zip(freq["token"], np.log(freq["c"].to_numpy() / total)))
+    ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids = batch["doc_id"]
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        toks = texts.str.split().explode().dropna()
+        lp = toks.map(table)
+        mean = lp.groupby(level=0).mean().round(6)
+        vals = np.full(len(ids), np.nan)
+        vals[mean.index] = mean
+        return pa.table(
+            {"doc_id": ids, "avg_logprob": pa.array(vals, pa.float64())}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

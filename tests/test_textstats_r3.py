@@ -1,0 +1,110 @@
+"""Round-3 text ops: repetition stats, unigram-LM scoring,
+benchmark decontamination — hand-computed expectations."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from rdf2smw_ray.pipelines.decontam import benchmark_ngrams, decontaminate
+from rdf2smw_ray.pipelines.textstats import repetition_stats, unigram_logprob
+
+
+def _ds(rows):
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_repetition_stats_hand_computed(ray_session):
+    out = (
+        repetition_stats(
+            _ds(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": [
+                        "a a a b",          # top a=3/4; 2grams: aa,aa,ab → dup 2/3; uniq 2/4
+                        "x y z",            # top 1/3; no dup 2grams; uniq 3/3
+                        "p p p p",          # top 4/4; 2grams pp×3 dup 3/3; uniq 1/4
+                    ],
+                }
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["top_token_frac"].tolist() == [0.75, round(1 / 3, 6), 1.0]
+    assert out["dup_2gram_frac"].tolist() == [round(2 / 3, 6), 0.0, 1.0]
+    assert out["unique_token_ratio"].tolist() == [0.5, 1.0, 0.25]
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    # corpus counts: a=3, b=1 → total 4
+    out = (
+        unigram_logprob(
+            _ds(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": ["a a b", "a"],
+                }
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    la, lb = math.log(3 / 4), math.log(1 / 4)
+    assert out["avg_logprob"].tolist() == [
+        round((2 * la + lb) / 3, 6),
+        round(la, 6),
+    ]
+
+
+def test_decontaminate_flags_exact_overlaps_only(ray_session):
+    docs = _ds(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "source": ["bench", "train", "train", "train"],
+            "text": [
+                "one two three four five six",
+                "zz one two three four five yy",  # 1 shared 5-gram ("one two three four five")
+                "one two three XX five six",      # no shared 5-gram
+                "totally different words here now", # clean
+            ],
+        }
+    )
+    out = (
+        decontaminate(docs, bench_source="bench", n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_hits"].tolist() == [1, 0, 0]
+    assert out["contaminated"].tolist() == [True, False, False]
+
+
+def test_benchmark_ngrams_respects_doc_boundaries(ray_session):
+    # two 3-token docs: no 5-gram may span the seam
+    bench = _ds(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["a b c", "d e f"],
+        }
+    )
+    assert benchmark_ngrams(bench, n=5) == frozenset()
+    assert benchmark_ngrams(bench, n=3) == frozenset({"a b c", "d e f"})
+
+
+def test_repetition_stats_empty_doc(ray_session):
+    out = (
+        repetition_stats(
+            _ds({"doc_id": pa.array([0, 1], pa.int64()), "text": ["", "a b"]})
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "top_token_frac"] == 0.0
+    assert out.loc[1, "unique_token_ratio"] == 1.0
