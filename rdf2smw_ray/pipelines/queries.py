@@ -845,6 +845,45 @@ FROM agg a LEFT JOIN gagg USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_quality_filter(sf_dir: str):
+    from rdf2smw_ray.pipelines.textstats import quality_filter
+
+    out = quality_filter(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# same raw counters as REPETITION_STATS_SQL, but thresholds compare the
+# UNROUNDED double ratios (identical IEEE division on both engines) and
+# the output carries no floats — only the ordered first-fail decision.
+QUALITY_FILTER_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, MAX(c) AS maxc, SUM(c) AS n, COUNT(*) AS nuniq FROM tc GROUP BY 1
+),
+g AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS gram
+  FROM t WHERE len(w) >= 2
+),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+gagg AS (
+  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS tot
+  FROM gc GROUP BY 1
+),
+r AS (
+  SELECT a.doc_id, CASE
+    WHEN n < 24 THEN 'too_short'
+    WHEN maxc / CAST(n AS DOUBLE) > 0.125 THEN 'repetitive_token'
+    WHEN COALESCE(dup, 0) > 0 AND dup / CAST(tot AS DOUBLE) > 0.12 THEN 'repetitive_2gram'
+    WHEN nuniq / CAST(n AS DOUBLE) < 0.35 THEN 'low_diversity'
+    ELSE '' END AS reject_reason
+  FROM agg a LEFT JOIN gagg USING (doc_id)
+)
+SELECT doc_id, reject_reason = '' AS keep, reject_reason FROM r ORDER BY doc_id
+"""
+
+
 def q_unigram_logprob(sf_dir: str):
     from rdf2smw_ray.pipelines.textstats import unigram_logprob
 
@@ -1296,6 +1335,7 @@ def all_queries():
         "token_doc_freq": q_token_doc_freq,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
@@ -1393,6 +1433,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "token_doc_freq": TOKEN_DOC_FREQ_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "repetition_stats": REPETITION_STATS_SQL,
+        "quality_filter": QUALITY_FILTER_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "lang_id": LANG_ID_SQL,

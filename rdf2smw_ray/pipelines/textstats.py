@@ -492,33 +492,30 @@ def fingerprints(docs):
 # one flat token frame; everything is pandas-C groupbys, no per-doc
 # Python loop.
 # ---------------------------------------------------------------------------
-def repetition_stats_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, top_token_frac (most frequent token's share of all
-    tokens), dup_2gram_frac (share of 2-gram positions whose 2-gram
-    occurs more than once in the doc), unique_token_ratio. Rounded to
-    6 decimals (cross-engine float contract)."""
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+def _repetition_raw(texts: pd.Series):
+    """Per-doc raw repetition counters over whitespace tokens:
+    (n_tokens, max_token_count, n_unique_tokens, dup_2gram_positions,
+    total_2gram_positions) as int64 arrays. One flat token frame per
+    batch, pandas-C groupbys — no per-doc Python loop."""
     toks = texts.str.split()
     counts = toks.map(len).to_numpy()
-    n = len(ids)
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    n_docs = len(texts)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     flat = np.concatenate([t for t in toks if t] or [[]]).astype(object)
 
-    out = {
-        "top_token_frac": np.zeros(n, dtype=np.float64),
-        "dup_2gram_frac": np.zeros(n, dtype=np.float64),
-        "unique_token_ratio": np.zeros(n, dtype=np.float64),
-    }
+    n = np.zeros(n_docs, dtype=np.int64)
+    maxc = np.zeros(n_docs, dtype=np.int64)
+    nuniq = np.zeros(n_docs, dtype=np.int64)
+    dup = np.zeros(n_docs, dtype=np.int64)
+    tot = np.zeros(n_docs, dtype=np.int64)
     if len(flat):
         df = pd.DataFrame({"d": doc_idx, "t": flat})
         tc = df.groupby(["d", "t"], sort=False).size()
         per_doc = tc.groupby(level=0)
-        maxc = per_doc.max()
-        nuniq = per_doc.size()
-        ntok = per_doc.sum()
-        out["top_token_frac"][maxc.index] = (maxc / ntok).round(6)
-        out["unique_token_ratio"][nuniq.index] = (nuniq / ntok).round(6)
+        m, u, s = per_doc.max(), per_doc.size(), per_doc.sum()
+        maxc[m.index] = m
+        nuniq[u.index] = u
+        n[s.index] = s
 
         # 2-grams: adjacent pairs within each doc (mask the seam
         # between consecutive docs in the flat array)
@@ -532,22 +529,83 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
             )
             if len(g):
                 gc = g.groupby(["d", "g"], sort=False).size()
-                per = gc.groupby(level=0)
-                dup = gc.where(gc > 1, 0).groupby(level=0).sum()
-                tot = per.sum()
-                out["dup_2gram_frac"][dup.index] = (dup / tot).round(6)
+                d = gc.where(gc > 1, 0).groupby(level=0).sum()
+                t = gc.groupby(level=0).sum()
+                dup[d.index] = d
+                tot[t.index] = t
+    return n, maxc, nuniq, dup, tot
+
+
+def _safe_div(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.divide(a, b, out=np.zeros(len(a), dtype=np.float64), where=b > 0)
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, top_token_frac (most frequent token's share of all
+    tokens), dup_2gram_frac (share of 2-gram positions whose 2-gram
+    occurs more than once in the doc), unique_token_ratio. Rounded to
+    6 decimals (cross-engine float contract)."""
+    texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+    n, maxc, nuniq, dup, tot = _repetition_raw(texts)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "top_token_frac": pa.array(out["top_token_frac"], pa.float64()),
-            "dup_2gram_frac": pa.array(out["dup_2gram_frac"], pa.float64()),
-            "unique_token_ratio": pa.array(out["unique_token_ratio"], pa.float64()),
+            "top_token_frac": pa.array(_safe_div(maxc, n).round(6), pa.float64()),
+            "dup_2gram_frac": pa.array(_safe_div(dup, tot).round(6), pa.float64()),
+            "unique_token_ratio": pa.array(_safe_div(nuniq, n).round(6), pa.float64()),
         }
     )
 
 
 def repetition_stats(docs):
     return docs.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality filter: ordered first-failing-rule
+# keep/drop decision. Thresholds compare UNROUNDED ratios (identical
+# IEEE division in numpy and the SQL oracle — no cross-engine rounding
+# hazard) and the output carries no floats at all, only the decision.
+# ---------------------------------------------------------------------------
+QUALITY_FILTER_RULES = {
+    "min_tokens": 24,        # n_tokens < 24            -> too_short
+    "max_top_token_frac": 0.125,   # maxc/n > 0.125     -> repetitive_token
+    "max_dup_2gram_frac": 0.12,    # dup/tot > 0.12     -> repetitive_2gram
+    "min_unique_ratio": 0.35,      # nuniq/n < 0.35     -> low_diversity
+}
+
+
+def quality_filter_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, keep (bool), reject_reason ('' when kept). Rules fire
+    in a fixed order; the first failing rule names the reason."""
+    texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+    n, maxc, nuniq, dup, tot = _repetition_raw(texts)
+    r = QUALITY_FILTER_RULES
+    reason = np.select(
+        [
+            n < r["min_tokens"],
+            _safe_div(maxc, n) > r["max_top_token_frac"],
+            _safe_div(dup, tot) > r["max_dup_2gram_frac"],
+            _safe_div(nuniq, n) < r["min_unique_ratio"],
+        ],
+        ["too_short", "repetitive_token", "repetitive_2gram", "low_diversity"],
+        default="",
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "keep": pa.array(reason == "", pa.bool_()),
+            "reject_reason": pa.array(reason, pa.string()),
+        }
+    )
+
+
+def quality_filter(docs):
+    """Per-doc keep/drop + reason. A production run chains
+    ``docs.filter`` on the kept ids (or inlines the mask) — returning
+    the decision table keeps the op auditable (per-reason counts are
+    one tiny groupby away)."""
+    return docs.map_batches(quality_filter_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

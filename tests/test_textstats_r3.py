@@ -9,7 +9,11 @@ import pyarrow as pa
 import ray.data as rd
 
 from rdf2smw_ray.pipelines.decontam import benchmark_ngrams, decontaminate
-from rdf2smw_ray.pipelines.textstats import repetition_stats, unigram_logprob
+from rdf2smw_ray.pipelines.textstats import (
+    quality_filter,
+    repetition_stats,
+    unigram_logprob,
+)
 
 
 def _ds(rows):
@@ -95,6 +99,59 @@ def test_benchmark_ngrams_respects_doc_boundaries(ray_session):
     )
     assert benchmark_ngrams(bench, n=5) == frozenset()
     assert benchmark_ngrams(bench, n=3) == frozenset({"a b c", "d e f"})
+
+
+def test_quality_filter_first_failing_rule(ray_session):
+    def distinct(k):  # k distinct tokens, passes every rule on its own
+        return " ".join(f"w{i}" for i in range(k))
+
+    docs = _ds(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                distinct(30),                      # keep
+                "a b c",                           # too_short (first rule wins)
+                # 30 tokens, 'x' appears 6/30 = 0.2 > 0.125
+                "x " * 6 + distinct(24),
+                # 30 tokens, maxc 3/30 = 0.1 passes, but 'p q'×3 +
+                # 'q p'×2 = 5 dup positions / 29 ≈ 0.172 > 0.12
+                "p q " * 3 + distinct(24),
+            ],
+        }
+    )
+    out = (
+        quality_filter(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["keep"].tolist() == [True, False, False, False]
+    assert out["reject_reason"].tolist() == [
+        "",
+        "too_short",
+        "repetitive_token",
+        "repetitive_2gram",
+    ]
+
+
+def test_quality_filter_low_diversity(ray_session):
+    # 26 tokens from a 7-word vocab: n=28? -> compute: 4 words ×7 = 28
+    # tokens, nuniq/n = 7/28 = 0.25 < 0.35; top token 4/28 ≈ 0.143 >
+    # 0.125 so make counts flat: 7 words ×4 = 28, top 4/28 = 0.1428 —
+    # still > 0.125. Use 9 words ×3 = 27 tokens, top 3/27 = 0.111,
+    # uniq 9/27 = 0.333 < 0.35; 2-grams: interleave so no adjacent
+    # pair repeats more than allowed? Simpler: accept either
+    # repetitive reason ordering by constructing dup-free sequence.
+    words = [f"v{i}" for i in range(9)]
+    # de Bruijn-ish: three distinct orderings → every adjacent pair unique
+    seq = words + words[::2] + words[1::2] + list(reversed(words))
+    seq = seq[:27]
+    text = " ".join(seq)
+    out = (
+        quality_filter(
+            _ds({"doc_id": pa.array([0], pa.int64()), "text": [text]})
+        )
+        .to_pandas()
+    )
+    assert out.loc[0, "keep"] == False  # noqa: E712
+    assert out.loc[0, "reject_reason"] in ("low_diversity", "repetitive_2gram")
 
 
 def test_repetition_stats_empty_doc(ray_session):
