@@ -902,6 +902,83 @@ FROM tok JOIN freq USING (token) GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub over documents with synthetic PII injected by pure
+    doc_id arithmetic (the corpus itself is PII-free word salad): every
+    3rd doc gains an email, every 4th a phone, every 5th an IPv4 —
+    mirrored exactly in the SQL oracle, so any counting or redaction
+    slip breaks the hash. The operator itself (pipelines/pii.py) is
+    injection-agnostic."""
+    from rdf2smw_ray.pipelines.pii import pii_redact
+
+    def inject(batch: pa.Table) -> pa.Table:
+        d = pd.Series(batch["doc_id"].to_numpy(zero_copy_only=False))
+        t = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        email = " contact user" + d.astype(str) + "@ex" + (d % 7).astype(str) + ".com now"
+        phone = (
+            " call 555-"
+            + (d % 1000).astype(str).str.zfill(3)
+            + "-"
+            + (d % 10000).astype(str).str.zfill(4)
+        )
+        ip = (
+            " from 10."
+            + (d % 200).astype(str)
+            + "."
+            + (d % 250).astype(str)
+            + "."
+            + (d % 100).astype(str)
+            + " up"
+        )
+        t = (
+            t
+            + email.where(d % 3 == 0, "")
+            + phone.where(d % 4 == 0, "")
+            + ip.where(d % 5 == 0, "")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d.to_numpy(), pa.int64()),
+                "text": pa.array(t.to_numpy(), pa.string()),
+            }
+        )
+
+    out = (
+        pii_redact(
+            _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+                inject, batch_format="pyarrow"
+            )
+        )
+        .drop_columns(["text"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_REDACT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@ex' || (doc_id % 7) || '.com now' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 200) || '.' || (doc_id % 250) || '.' || (doc_id % 100) || ' up' ELSE '' END
+    AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(length(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+  CAST(length(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL}', '[EMAIL]', 'g'),
+      '{_PII_PHONE}', '[PHONE]', 'g'),
+      '{_PII_IP}', '[IP]', 'g') AS redacted
+FROM aug ORDER BY doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination with source 'src0' as the held-out
     eval set. n=5 (not the production 13) because the synthetic corpus
@@ -1336,6 +1413,7 @@ def all_queries():
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
+        "pii_redact": q_pii_redact,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
@@ -1434,6 +1512,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "repetition_stats": REPETITION_STATS_SQL,
         "quality_filter": QUALITY_FILTER_SQL,
+        "pii_redact": PII_REDACT_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "lang_id": LANG_ID_SQL,

@@ -154,6 +154,29 @@ def test_quality_filter_low_diversity(ray_session):
     assert out.loc[0, "reject_reason"] in ("low_diversity", "repetitive_2gram")
 
 
+def test_pii_redact_hand_computed(ray_session):
+    from rdf2smw_ray.pipelines.pii import pii_redact
+
+    docs = _ds(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [
+                "mail a.b+c@sub.ex.org or x@y.io call 555-123-4567 ip 10.0.3.77 done",
+                "no pii here 1234-5678 not-a-phone 1.2.3 not-an-ip",
+            ],
+        }
+    )
+    out = pii_redact(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_email"].tolist() == [2, 0]
+    assert out["n_phone"].tolist() == [1, 0]
+    assert out["n_ipv4"].tolist() == [1, 0]
+    assert (
+        out.loc[0, "redacted"]
+        == "mail [EMAIL] or [EMAIL] call [PHONE] ip [IP] done"
+    )
+    assert out.loc[1, "redacted"] == docs.to_pandas()["text"][1]
+
+
 def test_repetition_stats_empty_doc(ray_session):
     out = (
         repetition_stats(
