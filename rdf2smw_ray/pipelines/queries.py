@@ -902,6 +902,65 @@ FROM tok JOIN freq USING (token) GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_line_dedup(sf_dir: str):
+    """Global first-wins line dedup over the synthetic page texts
+    (grammar sentences repeat across docs — e.g. every doc 1009 apart
+    shares its entity sentences, every 11th its subclass line — so the
+    kept/dropped split is non-trivial). The oracle rebuilds the exact
+    line list per doc from doc_id arithmetic and replays first-wins
+    (min doc_id, then min position) over the same md5 keys."""
+    from rdf2smw_ray.pipelines.linededup import line_dedup_counts
+    from rdf2smw_ray.sources.webpages import page_texts
+
+    out = line_dedup_counts(
+        page_texts(_docs(sf_dir, columns=["doc_id", "text"]))
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# line formulas mirror sources/webpages.py::grammar_sentences
+LINE_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    ['Entity_' || e1 || ' is known as "Ent ' || e1 || ' Label".',
+     'Entity_' || e1 || ' is a Class_' || k || '.',
+     'Entity_' || e1 || ' works with Entity_' || e2 || '.',
+     'Entity_' || e1 || ' has size ' || (doc_id % 100) || '.',
+     'Entity_' || e1 || ' refers to Entity_0.']
+    || CASE WHEN doc_id % 11 < 7
+         THEN ['Class_' || (doc_id % 11) || ' is a subtype of Class_' || (doc_id % 11 + 1) || '.']
+         ELSE [] END
+    || CASE WHEN doc_id % 20 = 0
+         THEN ['Class_' || k || ' is known as "Klass ' || k || '".'] ELSE [] END
+    || CASE WHEN doc_id % 50 = 0
+         THEN ['Entity_0 is known as "The Hub".', 'Entity_0 is a Class_0.'] ELSE [] END
+    || CASE WHEN text <> '' THEN [text] ELSE [] END
+    AS lines
+  FROM (SELECT doc_id, (3 * doc_id) % 1009 AS e1, (3 * doc_id + 1) % 1009 AS e2,
+               ((3 * doc_id) % 1009) % 8 AS k, text
+        FROM documents)
+),
+pos AS (
+  SELECT doc_id, unnest(lines) AS line,
+         unnest(generate_series(1, len(lines))) AS ln
+  FROM base
+),
+win AS (
+  SELECT md5(line) AS key, MIN(doc_id * 1048576 + ln) AS r
+  FROM pos GROUP BY 1
+),
+kept AS (
+  SELECT r // 1048576 AS doc_id, COUNT(*) AS n_kept FROM win GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(lines) - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped
+FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over documents with synthetic PII injected by pure
     doc_id arithmetic (the corpus itself is PII-free word salad): every
@@ -1414,6 +1473,7 @@ def all_queries():
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "pii_redact": q_pii_redact,
+        "line_dedup": q_line_dedup,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
@@ -1513,6 +1573,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "repetition_stats": REPETITION_STATS_SQL,
         "quality_filter": QUALITY_FILTER_SQL,
         "pii_redact": PII_REDACT_SQL,
+        "line_dedup": LINE_DEDUP_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "lang_id": LANG_ID_SQL,

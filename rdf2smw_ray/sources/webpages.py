@@ -101,3 +101,20 @@ def synth_batch(batch: pa.Table) -> pa.Table:
 def synth_web_pages(documents_ds):
     """documents Dataset → web_pages Dataset (WEB_PAGES_SCHEMA)."""
     return documents_ds.map_batches(synth_batch, batch_format="pyarrow")
+
+
+def page_texts(documents_ds):
+    """documents Dataset → (doc_id, text) with the page-text formula
+    (grammar sentences + blank line + boilerplate) but keyed by doc_id
+    instead of url — the line-granularity ops run over this."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        texts = [
+            "\n".join(grammar_sentences(int(d))) + "\n\n" + (b or "")
+            for d, b in zip(batch["doc_id"].to_numpy(), batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(texts, pa.string())}
+        )
+
+    return documents_ds.map_batches(_batch, batch_format="pyarrow")

@@ -177,6 +177,34 @@ def test_pii_redact_hand_computed(ray_session):
     assert out.loc[1, "redacted"] == docs.to_pandas()["text"][1]
 
 
+def test_line_dedup_first_wins(ray_session):
+    from rdf2smw_ray.pipelines.linededup import line_dedup_counts
+
+    docs = _ds(
+        {
+            "doc_id": pa.array([5, 2, 9], pa.int64()),
+            "text": [
+                "A\nB\n\nC",      # doc 5: A,B,C (empty dropped)
+                "B\nB\nX",        # doc 2: lowest doc wins B; dup B in-doc drops
+                "X\nA\nZ",        # doc 9: X lost to doc 2, A lost to doc 5
+            ],
+        }
+    )
+    out = (
+        line_dedup_counts(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 2 keeps B (first global), X; drops second B        -> 2/3
+    # doc 5 keeps A, C; loses B to doc 2                      -> 2/3
+    # doc 9 keeps Z only                                      -> 1/3
+    assert out["doc_id"].tolist() == [2, 5, 9]
+    assert out["n_lines"].tolist() == [3, 3, 3]
+    assert out["n_kept"].tolist() == [2, 2, 1]
+    assert out["n_dropped"].tolist() == [1, 1, 2]
+
+
 def test_repetition_stats_empty_doc(ray_session):
     out = (
         repetition_stats(
