@@ -961,6 +961,36 @@ ORDER BY b.doc_id
 """
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain rollup over the synthetic crawl: the Ray side REALLY
+    parses host/path out of the url strings; the oracle rebuilds both
+    from the generator arithmetic (url = https://ex{d%10}.org/page/{d},
+    warc_ts = epoch + d minutes)."""
+    from rdf2smw_ray.pipelines.weburl import domain_stats
+    from rdf2smw_ray.sources.webpages import synth_web_pages
+
+    out = domain_stats(
+        synth_web_pages(_docs(sf_dir, columns=["doc_id", "text", "lang"]))
+    ).to_pandas()
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+DOMAIN_STATS_SQL = """
+WITH p AS (
+  SELECT 'ex' || (doc_id % 10) || '.org' AS domain,
+         '/page/' || doc_id AS path,
+         1600000000000000 + doc_id * 60000000 AS ts
+  FROM documents
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+       MIN(ts) AS first_ts_us,
+       MAX(ts) AS last_ts_us
+FROM p GROUP BY domain ORDER BY domain
+"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over documents with synthetic PII injected by pure
     doc_id arithmetic (the corpus itself is PII-free word salad): every
@@ -1474,6 +1504,7 @@ def all_queries():
         "quality_filter": q_quality_filter,
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
+        "domain_stats": q_domain_stats,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
@@ -1574,6 +1605,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "quality_filter": QUALITY_FILTER_SQL,
         "pii_redact": PII_REDACT_SQL,
         "line_dedup": LINE_DEDUP_SQL,
+        "domain_stats": DOMAIN_STATS_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "lang_id": LANG_ID_SQL,

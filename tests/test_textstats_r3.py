@@ -205,6 +205,30 @@ def test_line_dedup_first_wins(ray_session):
     assert out["n_dropped"].tolist() == [1, 1, 2]
 
 
+def test_domain_stats_parses_and_dedups_paths(ray_session):
+    from rdf2smw_ray.pipelines.weburl import domain_stats
+
+    pages = _ds(
+        {
+            "url": [
+                "https://a.org/x",
+                "https://a.org/x?utm=1",   # same path, query stripped
+                "https://a.org/y#frag",    # second path
+                "http://b.net",            # empty path
+            ],
+            "warc_ts": pa.array([100, 300, 200, 50], pa.timestamp("us")),
+        }
+    )
+    out = (
+        domain_stats(pages).to_pandas().sort_values("domain").reset_index(drop=True)
+    )
+    assert out["domain"].tolist() == ["a.org", "b.net"]
+    assert out["n_pages"].tolist() == [3, 1]
+    assert out["n_paths"].tolist() == [2, 1]
+    assert out["first_ts_us"].tolist() == [100, 50]
+    assert out["last_ts_us"].tolist() == [300, 50]
+
+
 def test_repetition_stats_empty_doc(ray_session):
     out = (
         repetition_stats(
