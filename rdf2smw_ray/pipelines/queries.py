@@ -961,6 +961,45 @@ ORDER BY b.doc_id
 """
 
 
+def q_bm25_topk(sf_dir: str):
+    """Lexical retrieval: BM25 top-10 for a fixed 3-term query. Both
+    engines rank on ROUND(score, 6) with doc_id tie-break, so the row
+    SET is deterministic across numpy/DuckDB float noise."""
+    from rdf2smw_ray.pipelines.search import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        ["data", "spark", "window"],
+        k=10,
+    )
+
+
+BM25_TOPK_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         SUM(len(w)) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+q AS (SELECT unnest(['data', 'spark', 'window']) AS term),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM tok JOIN q ON token = term GROUP BY 1, 2
+),
+df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS d FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM t),
+sc AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(ln((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+                   * (c * 2.2) / (c + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_domain_stats(sf_dir: str):
     """Per-domain rollup over the synthetic crawl: the Ray side REALLY
     parses host/path out of the url strings; the oracle rebuilds both
@@ -1505,6 +1544,7 @@ def all_queries():
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
         "domain_stats": q_domain_stats,
+        "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
@@ -1606,6 +1646,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "pii_redact": PII_REDACT_SQL,
         "line_dedup": LINE_DEDUP_SQL,
         "domain_stats": DOMAIN_STATS_SQL,
+        "bm25_topk": BM25_TOPK_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "lang_id": LANG_ID_SQL,

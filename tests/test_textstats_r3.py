@@ -229,6 +229,48 @@ def test_domain_stats_parses_and_dedups_paths(ray_session):
     assert out["last_ts_us"].tolist() == [300, 50]
 
 
+def test_bm25_matches_naive_reference(ray_session):
+    from rdf2smw_ray.pipelines.search import bm25_topk
+
+    texts = [
+        "data spark data table",
+        "window spark window window scan",
+        "table scan merge join",
+        "data data data data",
+        "spark",
+    ]
+    docs = _ds({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    terms = ["data", "spark", "window"]
+    out = bm25_topk(docs, terms, k=3)
+
+    # naive scalar BM25 (Lucene idf), k1=1.2 b=0.75
+    toks = [t.split() for t in texts]
+    N, avgdl = len(toks), sum(len(t) for t in toks) / len(toks)
+    df = {w: sum(w in t for t in toks) for w in terms}
+    exp = {}
+    for i, t in enumerate(toks):
+        s = 0.0
+        for w in terms:
+            c = t.count(w)
+            if c and df[w]:
+                idf = math.log((N - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+                s += idf * (c * 2.2) / (c + 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl))
+        if s > 0:
+            exp[i] = round(s, 6)
+    top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert out["doc_id"].tolist() == [d for d, _ in top]
+    assert out["score"].tolist() == [s for _, s in top]
+
+
+def test_bm25_empty_and_no_hit(ray_session):
+    from rdf2smw_ray.pipelines.search import bm25_topk
+
+    docs = _ds({"doc_id": pa.array([0], pa.int64()), "text": ["nothing relevant"]})
+    out = bm25_topk(docs, ["zzz"], k=5)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "score"]
+
+
 def test_repetition_stats_empty_doc(ray_session):
     out = (
         repetition_stats(
