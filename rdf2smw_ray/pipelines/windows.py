@@ -400,3 +400,77 @@ FROM orders WHERE o_custkey IN (
   WHERE r_name = 'EUROPE'
 )
 """
+
+
+def funnel_steps(
+    sf_dir: str, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> pd.DataFrame:
+    """Ordered funnel: how many users performed step 1, step 1 then
+    step 2 strictly after it, and so on — the standard product-
+    analytics sequence match.
+
+    Scale shape: one shuffle (the shared hash(user_id) bucket key),
+    then a per-bucket VECTORIZED chain — sort once by (user, ts,
+    event_id), take per-user first position of step k among events
+    positioned strictly after the user's step-(k-1) position (pandas
+    groupby-min over position arrays, no per-user loop). Each bucket
+    emits |steps| partial counts; the final reduce is a tiny
+    groupby(step).sum."""
+    from ray.data.aggregate import Sum
+
+    labels = [f"{i + 1}_{s}" for i, s in enumerate(steps)]
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        pos = np.arange(len(df), dtype=np.int64)
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+
+        m = et == steps[0]
+        reached = pd.Series(pos[m]).groupby(u[m]).min()  # user -> first pos
+        counts = [len(reached)]
+        for s in steps[1:]:
+            m = et == s
+            pu, pp = u[m], pos[m]
+            prev = pd.Series(pu).map(reached).to_numpy()
+            ok = ~np.isnan(prev)
+            ok[ok] = pp[ok] > prev[ok]
+            reached = pd.Series(pp[ok]).groupby(pu[ok]).min()
+            counts.append(len(reached))
+        return pa.table(
+            {
+                "step": pa.array(labels, pa.string()),
+                "n_users": pa.array(np.asarray(counts, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("step")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("step").reset_index(drop=True)
+
+
+FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM events
+),
+v AS (SELECT user_id, MIN(p) AS p1 FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(p) AS p2 FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND p > p1 GROUP BY 1),
+pu AS (SELECT e.user_id, MIN(p) AS p3 FROM e JOIN c USING (user_id)
+       WHERE event_type = 'purchase' AND p > p2 GROUP BY 1)
+SELECT '1_view' AS step, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT '2_click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT '3_purchase', CAST((SELECT COUNT(*) FROM pu) AS BIGINT)
+ORDER BY step
+"""

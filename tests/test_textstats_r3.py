@@ -271,6 +271,37 @@ def test_bm25_empty_and_no_hit(ray_session):
     assert list(out.columns) == ["doc_id", "score"]
 
 
+def test_funnel_steps_strict_ordering(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.windows import funnel_steps
+
+    # user 1 completes view>click>purchase; user 2's click precedes its
+    # view (no step 2); user 3 reaches click but its purchase came
+    # before the click; user 4 never views.
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "click"), (2, 2, "view"), (2, 3, "purchase"),
+        (3, 1, "view"), (3, 2, "purchase"), (3, 3, "click"),
+        (4, 1, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([u * 10 + s for u, s, _ in rows], pa.int64()),
+            "ts": pa.array(
+                [1_600_000_000_000_000 + s * 1_000_000 for _, s, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array([e for _, _, e in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = funnel_steps(str(tmp_path))
+    assert out["step"].tolist() == ["1_view", "2_click", "3_purchase"]
+    assert out["n_users"].tolist() == [3, 2, 1]
+
+
 def test_repetition_stats_empty_doc(ray_session):
     out = (
         repetition_stats(
