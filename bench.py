@@ -241,6 +241,11 @@ def run_queries(num_cpus: int) -> dict:
         "ann_topk",
         "media_features",
         "kg_extracted_triples",
+        # round-3 additions
+        "quality_filter",
+        "line_dedup",
+        "bm25_topk",
+        "funnel_steps",
     ]
     q = all_queries()
     times = {}

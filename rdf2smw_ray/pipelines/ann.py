@@ -312,3 +312,46 @@ def ann_ivf_topk(
         batch_format="pyarrow",
     )
     return ann_brute_topk(candidates, q, k, concurrency=concurrency)
+
+
+def embedding_norm_stats(embeddings):
+    """Per-label vector-count + mean L2 norm: per-batch partial
+    (label, n, sum_norm) over the zero-copy matrix view, then a tiny
+    groupby(label) final — the sanity rollup an embedding pipeline
+    runs before indexing (catches all-zero / exploded vectors)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch["embedding"]).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"label": lab, "norm": norms}).groupby("label", sort=False)
+        n, s = g.size(), g["norm"].sum()
+        return pa.table(
+            {
+                "label": pa.array(n.index.to_numpy(), pa.int64()),
+                "n_vecs": pa.array(n.to_numpy(), pa.int64()),
+                "sum_norm": pa.array(s.to_numpy(), pa.float64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": batch["label"],
+                "n_vecs": batch["n_vecs"],
+                "mean_norm": pa.array(
+                    (
+                        batch["sum_norm"].to_numpy() / batch["n_vecs"].to_numpy()
+                    ).round(6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("sum_norm", alias_name="sum_norm"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

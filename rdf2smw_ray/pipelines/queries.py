@@ -1388,6 +1388,25 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
 
 
+def q_embedding_norm_stats(sf_dir: str):
+    from rdf2smw_ray.pipelines.ann import embedding_norm_stats
+
+    out = embedding_norm_stats(_emb(sf_dir)).to_pandas()
+    out["label"] = out["label"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+# per-element CAST to DOUBLE: the column is float32 and list_sum of raw
+# FLOAT squares would accumulate in single precision
+EMBEDDING_NORM_STATS_SQL = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(SUM(sqrt(list_sum(list_transform(embedding,
+             e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) / COUNT(*), 6) AS mean_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
 def q_ann_topk(sf_dir: str):
     out = ann_brute_topk(_emb(sf_dir), _query_vec(sf_dir), k=10, concurrency=2)
     out = out[["vec_id", "score"]].copy()
@@ -1559,6 +1578,7 @@ def all_queries():
         "simhash_near_dup": q_simhash_near_dup,
         # similarity search
         "ann_topk": q_ann_topk,
+        "embedding_norm_stats": q_embedding_norm_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1659,6 +1679,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
         "ann_ivf_topk": ANN_TOPK_SQL,  # full probe == exact
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
         "median_value_per_event_type": relational.MEDIAN_SQL,
