@@ -1587,6 +1587,7 @@ def all_queries():
         "asof_click_before_purchase": windows.asof_click_before_purchase,
         "clicks_before_purchase_window": windows.clicks_before_purchase_window,
         "funnel_steps": windows.funnel_steps,
+        "hopping_window_counts": windows.hopping_window_counts,
         "latest_event_per_user": windows.latest_event_per_user,
         "customers_without_orders": windows.customers_without_orders,
         "customers_without_orders_bloom": windows.customers_without_orders_bloom,
@@ -1689,6 +1690,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "asof_click_before_purchase": windows.ASOF_SQL,
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,
         "funnel_steps": windows.FUNNEL_SQL,
+        "hopping_window_counts": windows.HOPPING_WINDOW_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,
         "customers_without_orders_bloom": windows.ANTI_JOIN_SQL,

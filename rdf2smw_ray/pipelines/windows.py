@@ -474,3 +474,65 @@ UNION ALL
 SELECT '3_purchase', CAST((SELECT COUNT(*) FROM pu) AS BIGINT)
 ORDER BY step
 """
+
+
+def hopping_window_counts(
+    sf_dir: str, size_hours: int = 2, hop_hours: int = 1
+) -> pd.DataFrame:
+    """Hopping (overlapping) windows: per (window_start, event_type)
+    event counts where each event lands in size/hop windows. The
+    streaming restatement: per-batch the event's window starts are
+    materialized arithmetically (np.repeat + hour floor, no row
+    explosion through Python) and pre-counted, so the shuffle carries
+    one row per (window, type) per batch; the final reduce is a native
+    two-key groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    assert size_hours % hop_hours == 0
+    k = size_hours // hop_hours
+    hop_us = hop_hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        base = (ts // hop_us) * hop_us
+        # k window starts per event: base, base-hop, ..., base-(k-1)hop
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, len(base)
+        )
+        types = np.repeat(et, k)
+        g = (
+            pd.DataFrame({"ws_us": starts, "event_type": types})
+            .groupby(["ws_us", "event_type"], sort=False)
+            .size()
+        )
+        idx = g.index
+        return pa.table(
+            {
+                "ws_us": pa.array(idx.get_level_values(0).to_numpy(), pa.int64()),
+                "event_type": pa.array(idx.get_level_values(1).to_numpy(), pa.string()),
+                "n": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["ws_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["ws_us", "event_type"]).reset_index(drop=True)
+
+
+HOPPING_WINDOW_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS base FROM events
+),
+w AS (
+  SELECT event_type, unnest([base, base - 3600000000]) AS ws_us FROM e
+)
+SELECT ws_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""

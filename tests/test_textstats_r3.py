@@ -302,6 +302,30 @@ def test_funnel_steps_strict_ordering(ray_session, tmp_path):
     assert out["n_users"].tolist() == [3, 2, 1]
 
 
+def test_hopping_window_membership(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.windows import hopping_window_counts
+
+    h = 3_600_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            # one event at 02:30, one at exactly 03:00
+            "ts": pa.array([2 * h + h // 2, 3 * h], pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["a", "a"], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = hopping_window_counts(str(tmp_path))
+    # event@02:30 -> windows [01:00,03:00) and [02:00,04:00)
+    # event@03:00 -> windows [02:00,04:00) and [03:00,05:00)
+    assert out["ws_us"].tolist() == [1 * h, 2 * h, 3 * h]
+    assert out["n"].tolist() == [1, 2, 1]
+    assert out["n"].sum() == 2 * 2  # each event in exactly size/hop windows
+
+
 def test_repetition_stats_empty_doc(ray_session):
     out = (
         repetition_stats(
