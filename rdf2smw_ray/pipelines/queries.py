@@ -1030,6 +1030,81 @@ FROM p GROUP BY domain ORDER BY domain
 """
 
 
+def q_curated_corpus(sf_dir: str):
+    """Composed hygiene pass: quality filter → semi-join kept docs →
+    page-text line dedup AMONG KEPT DOCS ONLY. The winners differ from
+    the standalone line_dedup query (rejected docs no longer claim
+    first occurrence), so this value-checks the stage interaction, not
+    just each stage."""
+    from rdf2smw_ray.pipelines.curation import curated_line_counts
+
+    out = curated_line_counts(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CURATED_CORPUS_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, MAX(c) AS maxc, SUM(c) AS n, COUNT(*) AS nuniq FROM tc GROUP BY 1
+),
+g2 AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS gram
+  FROM t WHERE len(w) >= 2
+),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+gagg AS (
+  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS tot
+  FROM gc GROUP BY 1
+),
+kept AS (
+  SELECT a.doc_id FROM agg a LEFT JOIN gagg USING (doc_id)
+  WHERE n >= 24 AND maxc / CAST(n AS DOUBLE) <= 0.125
+    AND NOT (COALESCE(dup, 0) > 0 AND dup / CAST(tot AS DOUBLE) > 0.12)
+    AND nuniq / CAST(n AS DOUBLE) >= 0.35
+),
+base AS (
+  SELECT doc_id,
+    ['Entity_' || e1 || ' is known as "Ent ' || e1 || ' Label".',
+     'Entity_' || e1 || ' is a Class_' || k || '.',
+     'Entity_' || e1 || ' works with Entity_' || e2 || '.',
+     'Entity_' || e1 || ' has size ' || (doc_id % 100) || '.',
+     'Entity_' || e1 || ' refers to Entity_0.']
+    || CASE WHEN doc_id % 11 < 7
+         THEN ['Class_' || (doc_id % 11) || ' is a subtype of Class_' || (doc_id % 11 + 1) || '.']
+         ELSE [] END
+    || CASE WHEN doc_id % 20 = 0
+         THEN ['Class_' || k || ' is known as "Klass ' || k || '".'] ELSE [] END
+    || CASE WHEN doc_id % 50 = 0
+         THEN ['Entity_0 is known as "The Hub".', 'Entity_0 is a Class_0.'] ELSE [] END
+    || CASE WHEN text <> '' THEN [text] ELSE [] END
+    AS lines
+  FROM (SELECT d.doc_id, (3 * d.doc_id) % 1009 AS e1, (3 * d.doc_id + 1) % 1009 AS e2,
+               ((3 * d.doc_id) % 1009) % 8 AS k, text
+        FROM documents d JOIN kept USING (doc_id))
+),
+pos AS (
+  SELECT doc_id, unnest(lines) AS line,
+         unnest(generate_series(1, len(lines))) AS ln
+  FROM base
+),
+win AS (
+  SELECT md5(line) AS key, MIN(doc_id * 1048576 + ln) AS r
+  FROM pos GROUP BY 1
+),
+keptl AS (
+  SELECT r // 1048576 AS doc_id, COUNT(*) AS n_kept FROM win GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(lines) - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped
+FROM base b LEFT JOIN keptl k ON b.doc_id = k.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over documents with synthetic PII injected by pure
     doc_id arithmetic (the corpus itself is PII-free word salad): every
@@ -1562,6 +1637,7 @@ def all_queries():
         "quality_filter": q_quality_filter,
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
+        "curated_corpus": q_curated_corpus,
         "domain_stats": q_domain_stats,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1667,6 +1743,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "quality_filter": QUALITY_FILTER_SQL,
         "pii_redact": PII_REDACT_SQL,
         "line_dedup": LINE_DEDUP_SQL,
+        "curated_corpus": CURATED_CORPUS_SQL,
         "domain_stats": DOMAIN_STATS_SQL,
         "bm25_topk": BM25_TOPK_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
