@@ -749,6 +749,34 @@ ORDER BY doc_id
 """
 
 
+def q_mixture_sample(sf_dir: str):
+    """Source mixing: per-source deterministic downsample rates (the
+    pretraining blend step) — 50% of src0-4, 20% of src5-9, 5% of the
+    rest, all via the shared md5 gate."""
+    from rdf2smw_ray.pipelines.textstats import mixture_sample
+
+    rates = {f"src{i}": "80" for i in range(5)}
+    rates.update({f"src{i}": "33" for i in range(5, 10)})
+    out = mixture_sample(
+        _docs(sf_dir, columns=["doc_id", "source"]), rates, default_hex="0d"
+    ).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "source": pd.Series([], dtype=object)}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN '80'
+       WHEN source IN ('src5','src6','src7','src8','src9') THEN '33'
+       ELSE '0d' END
+ORDER BY doc_id
+"""
+
+
 def q_top_bigrams(sf_dir: str):
     from rdf2smw_ray.pipelines.textstats import top_bigrams
 
@@ -1638,6 +1666,7 @@ def all_queries():
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
         "curated_corpus": q_curated_corpus,
+        "mixture_sample": q_mixture_sample,
         "domain_stats": q_domain_stats,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1744,6 +1773,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "pii_redact": PII_REDACT_SQL,
         "line_dedup": LINE_DEDUP_SQL,
         "curated_corpus": CURATED_CORPUS_SQL,
+        "mixture_sample": MIXTURE_SAMPLE_SQL,
         "domain_stats": DOMAIN_STATS_SQL,
         "bm25_topk": BM25_TOPK_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,

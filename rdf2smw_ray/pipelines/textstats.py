@@ -670,3 +670,28 @@ def unigram_logprob(docs):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Source mixing (pretraining data weighting): per-source deterministic
+# downsample rates — the "mixture" step that turns raw crawl + curated
+# sources into a training blend. Same md5 gate as deterministic_sample
+# so the kept set is identical at any parallelism and in SQL.
+# ---------------------------------------------------------------------------
+def mixture_sample(ds, rates_hex: dict, *, key: str = "doc_id", source_col: str = "source", default_hex: str = "00"):
+    """Keep a row iff ``md5(str(key))[:2] < rates_hex[source]`` (two
+    hex chars → rate ≈ int(h,16)/256; sources absent from the map use
+    ``default_hex``, "00" = drop). The rates map is a handful of
+    entries BY NATURE — it ships inside the task closure, no shuffle,
+    no state."""
+    import hashlib
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = pd.Series(batch[key].to_pylist())
+        cuts = pd.Series(batch[source_col].to_pylist()).map(
+            lambda s: rates_hex.get(s, default_hex)
+        )
+        h = keys.map(lambda v: hashlib.md5(str(v).encode()).hexdigest()[:2])
+        return batch.filter(pa.array((h < cuts).to_numpy()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
