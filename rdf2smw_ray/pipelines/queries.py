@@ -1693,6 +1693,7 @@ def all_queries():
         "clicks_before_purchase_window": windows.clicks_before_purchase_window,
         "funnel_steps": windows.funnel_steps,
         "hopping_window_counts": windows.hopping_window_counts,
+        "inter_event_gap_stats": windows.inter_event_gap_stats,
         "latest_event_per_user": windows.latest_event_per_user,
         "customers_without_orders": windows.customers_without_orders,
         "customers_without_orders_bloom": windows.customers_without_orders_bloom,
@@ -1798,6 +1799,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,
         "funnel_steps": windows.FUNNEL_SQL,
         "hopping_window_counts": windows.HOPPING_WINDOW_SQL,
+        "inter_event_gap_stats": windows.INTER_EVENT_GAP_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,
         "customers_without_orders_bloom": windows.ANTI_JOIN_SQL,

@@ -536,3 +536,67 @@ w AS (
 SELECT ws_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM w GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def inter_event_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Per event_type: number of consecutive same-user same-type event
+    pairs and their mean gap in seconds — the LAG-window family
+    (inter-arrival telemetry).
+
+    Same single hash(user) bucket shuffle as the other window ops;
+    inside a bucket one mergesort by (user, type, ts, event_id) and a
+    seam-masked diff produce every gap vectorized. Partials are
+    (type, n, sum_us); the final reduce is a tiny groupby(type)."""
+    from ray.data.aggregate import Sum
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        ts = df["ts"].astype("int64").to_numpy()  # us
+        same = (
+            df["user_id"].eq(df["user_id"].shift())
+            & df["event_type"].eq(df["event_type"].shift())
+        ).to_numpy()
+        gaps = (ts - np.roll(ts, 1))[same]
+        types = df["event_type"].to_numpy()[same]
+        g = pd.DataFrame({"event_type": types, "gap": gaps}).groupby(
+            "event_type", sort=False
+        )["gap"]
+        n, s = g.size(), g.sum()
+        return pa.table(
+            {
+                "event_type": pa.array(n.index.to_numpy(), pa.string()),
+                "n_gaps": pa.array(n.to_numpy().astype(np.int64), pa.int64()),
+                "sum_us": pa.array(s.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_gaps", alias_name="n_gaps"), Sum("sum_us", alias_name="sum_us"))
+        .to_pandas()
+    )
+    agg["n_gaps"] = agg["n_gaps"].astype("int64")
+    agg["mean_gap_s"] = (agg["sum_us"] / 1e6 / agg["n_gaps"]).round(6)
+    return (
+        agg[["event_type", "n_gaps", "mean_gap_s"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+INTER_EVENT_GAP_SQL = """
+WITH x AS (
+  SELECT event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(SUM(epoch_us(ts - prev)) / 1e6 / COUNT(*), 6) AS mean_gap_s
+FROM x WHERE prev IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
