@@ -1,0 +1,124 @@
+"""Randomized brute-force parity for the round-3 kernels: generate
+small seeded corpora, compare the distributed operators against
+pure-Python scalar references."""
+
+import math
+import random
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from rdf2smw_ray.pipelines.decontam import decontaminate
+from rdf2smw_ray.pipelines.linededup import line_dedup_counts
+from rdf2smw_ray.pipelines.textstats import repetition_stats
+
+VOCAB = [f"w{i}" for i in range(12)]
+
+
+def _corpus(seed, n_docs=40, max_tokens=30):
+    rng = random.Random(seed)
+    return [
+        " ".join(rng.choice(VOCAB) for _ in range(rng.randint(0, max_tokens)))
+        for _ in range(n_docs)
+    ]
+
+
+def _ds(ids, texts, extra=None):
+    cols = {"doc_id": pa.array(ids, pa.int64()), "text": texts}
+    if extra:
+        cols.update(extra)
+    # several blocks so combiners + shuffles actually run
+    return rd.from_arrow(pa.table(cols)).repartition(5)
+
+
+def test_repetition_stats_random_parity(ray_session):
+    for seed in (1, 2, 3):
+        texts = _corpus(seed)
+        ids = list(range(len(texts)))
+        out = (
+            repetition_stats(_ds(ids, texts))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, t in enumerate(texts):
+            toks = t.split()
+            row = out.loc[i]
+            if not toks:
+                assert row["top_token_frac"] == 0.0
+                continue
+            c = Counter(toks)
+            assert row["top_token_frac"] == round(max(c.values()) / len(toks), 6)
+            assert row["unique_token_ratio"] == round(len(c) / len(toks), 6)
+            grams = Counter(zip(toks, toks[1:]))
+            tot = sum(grams.values())
+            dup = sum(v for v in grams.values() if v > 1)
+            exp = round(dup / tot, 6) if tot else 0.0
+            assert row["dup_2gram_frac"] == exp
+
+
+def test_line_dedup_random_parity(ray_session):
+    rng = random.Random(7)
+    # multi-line docs from a small line alphabet → heavy cross-doc dups
+    lines_pool = [f"L{i}" for i in range(6)]
+    texts = [
+        "\n".join(rng.choice(lines_pool) for _ in range(rng.randint(0, 8)))
+        for _ in range(30)
+    ]
+    ids = list(range(len(texts)))
+    out = (
+        line_dedup_counts(_ds(ids, texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force first-wins
+    seen = set()
+    kept = Counter()
+    totals = Counter()
+    for d in ids:
+        for ln in texts[d].split("\n"):
+            if ln == "":
+                continue
+            totals[d] += 1
+            if ln not in seen:
+                seen.add(ln)
+                kept[d] += 1
+    assert out["doc_id"].tolist() == ids
+    assert out["n_lines"].tolist() == [totals[d] for d in ids]
+    assert out["n_kept"].tolist() == [kept[d] for d in ids]
+
+
+def test_decontaminate_random_parity(ray_session):
+    for seed in (11, 12):
+        texts = _corpus(seed, n_docs=30, max_tokens=20)
+        ids = list(range(len(texts)))
+        sources = ["bench" if i % 5 == 0 else "train" for i in ids]
+        n = 3
+        out = (
+            decontaminate(
+                _ds(ids, texts, {"source": sources}), bench_source="bench", n=n
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        def grams(t):
+            w = t.split()
+            return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+        bench = set()
+        for i in ids:
+            if sources[i] == "bench":
+                bench.update(grams(texts[i]))
+        exp = {
+            i: sum(g in bench for g in grams(texts[i]))
+            for i in ids
+            if sources[i] != "bench"
+        }
+        assert out["doc_id"].tolist() == sorted(exp)
+        assert out["n_hits"].tolist() == [exp[i] for i in sorted(exp)]
