@@ -749,6 +749,24 @@ ORDER BY doc_id
 """
 
 
+def q_token_count_histogram(sf_dir: str):
+    from rdf2smw_ray.pipelines.textstats import token_count_histogram
+
+    out = token_count_histogram(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    out["c"] = out["c"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("c").reset_index(drop=True)
+
+
+TOKEN_COUNT_HISTOGRAM_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+),
+f AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1)
+SELECT c, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM f GROUP BY c ORDER BY c
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Source mixing: per-source deterministic downsample rates (the
     pretraining blend step) — 50% of src0-4, 20% of src5-9, 5% of the
@@ -1667,6 +1685,7 @@ def all_queries():
         "line_dedup": q_line_dedup,
         "curated_corpus": q_curated_corpus,
         "mixture_sample": q_mixture_sample,
+        "token_count_histogram": q_token_count_histogram,
         "domain_stats": q_domain_stats,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1775,6 +1794,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "line_dedup": LINE_DEDUP_SQL,
         "curated_corpus": CURATED_CORPUS_SQL,
         "mixture_sample": MIXTURE_SAMPLE_SQL,
+        "token_count_histogram": TOKEN_COUNT_HISTOGRAM_SQL,
         "domain_stats": DOMAIN_STATS_SQL,
         "bm25_topk": BM25_TOPK_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,

@@ -638,22 +638,39 @@ def token_frequencies(docs):
     )
 
 
-def unigram_logprob(docs):
+def unigram_logprob(docs, *, max_vocab: int | None = None, oov_floor_count: float = 1.0):
     """doc_id, avg_logprob = mean over token positions of
-    ln(count(token) / total_tokens), frequencies from the SAME corpus
-    (no OOV by construction). The log-prob table is broadcast once
-    (``ray.put``) and read per batch; scoring is a vectorized
-    Series.map + groupby mean.
+    ln(count(token) / total_tokens), frequencies from the SAME corpus.
+    The log-prob table is broadcast once (``ray.put``) and read per
+    batch; scoring is a vectorized Series.map + groupby mean.
 
-    Scale note: the broadcast table is vocabulary-proportional. At
-    open-web scale cap it with the heavy-hitters machinery
-    (``top_bigrams``-style) plus an OOV floor; the scoring pass is
-    unchanged."""
+    ``max_vocab`` is the open-web scale path: the broadcast table keeps
+    only the top-V tokens by (count desc, token asc) — selected with a
+    per-batch local top-V combiner over the aggregated frequency
+    Dataset, so the full vocabulary never sits on the driver — and
+    out-of-table tokens score at the floor ln(oov_floor_count/total).
+    With ``max_vocab=None`` every corpus token is in the table and the
+    floor is unreachable (no OOV by construction)."""
     import ray
 
-    freq = token_frequencies(docs).to_pandas()
-    total = float(freq["c"].sum())
-    logp = dict(zip(freq["token"], np.log(freq["c"].to_numpy() / total)))
+    freq = token_frequencies(docs)
+    if max_vocab is None:
+        fp = freq.to_pandas()
+        total = float(fp["c"].sum())
+    else:
+        total = float(freq.sum("c"))
+
+        def local_topv(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return table_from_pandas(
+                df.sort_values(["c", "token"], ascending=[False, True]).head(max_vocab),
+                preserve_index=False,
+            )
+
+        fp = freq.map_batches(local_topv, batch_format="pyarrow").to_pandas()
+        fp = fp.sort_values(["c", "token"], ascending=[False, True]).head(max_vocab)
+    logp = dict(zip(fp["token"], np.log(fp["c"].to_numpy() / total)))
+    floor = float(np.log(oov_floor_count / total))
     ref = ray.put(logp)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -661,7 +678,7 @@ def unigram_logprob(docs):
         ids = batch["doc_id"]
         texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
         toks = texts.str.split().explode().dropna()
-        lp = toks.map(table)
+        lp = toks.map(table).fillna(floor)
         mean = lp.groupby(level=0).mean().round(6)
         vals = np.full(len(ids), np.nan)
         vals[mean.index] = mean
@@ -670,6 +687,30 @@ def unigram_logprob(docs):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def token_count_histogram(docs):
+    """Counts-of-counts (the Zipf/vocabulary curve): how many distinct
+    tokens occur exactly c times. Two-level aggregation — the
+    token-frequency shuffle, then a per-batch value_counts combiner
+    over c and a TINY second groupby (rows = distinct counts)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch["c"].to_numpy()).value_counts()
+        return pa.table(
+            {
+                "c": pa.array(vc.index.to_numpy(), pa.int64()),
+                "n_tokens": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        token_frequencies(docs)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,32 @@ def test_unigram_logprob_hand_computed(ray_session):
     ]
 
 
+def test_unigram_logprob_capped_vocab(ray_session):
+    # corpus: a=3, b=2, c=1; total=6. max_vocab=2 keeps {a, b};
+    # 'c' scores at the OOV floor ln(1/6).
+    docs = _ds(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["a a b c", "a b"],
+        }
+    )
+    la, lb, fl = math.log(3 / 6), math.log(2 / 6), math.log(1 / 6)
+    capped = (
+        unigram_logprob(docs, max_vocab=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert capped["avg_logprob"].tolist() == [
+        round((2 * la + lb + fl) / 4, 6),
+        round((la + lb) / 2, 6),
+    ]
+    # a cap at or above the true vocabulary is a no-op vs uncapped
+    full = unigram_logprob(docs).to_pandas().sort_values("doc_id")
+    wide = unigram_logprob(docs, max_vocab=10).to_pandas().sort_values("doc_id")
+    assert full["avg_logprob"].tolist() == wide["avg_logprob"].tolist()
+
+
 def test_decontaminate_flags_exact_overlaps_only(ray_session):
     docs = _ds(
         {
