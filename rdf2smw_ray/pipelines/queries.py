@@ -1713,6 +1713,7 @@ def all_queries():
         "funnel_steps": windows.funnel_steps,
         "hopping_window_counts": windows.hopping_window_counts,
         "inter_event_gap_stats": windows.inter_event_gap_stats,
+        "zscore_value_per_event_type": relational.zscore_value_per_event_type,
         "latest_event_per_user": windows.latest_event_per_user,
         "customers_without_orders": windows.customers_without_orders,
         "customers_without_orders_bloom": windows.customers_without_orders_bloom,
@@ -1820,6 +1821,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "funnel_steps": windows.FUNNEL_SQL,
         "hopping_window_counts": windows.HOPPING_WINDOW_SQL,
         "inter_event_gap_stats": windows.INTER_EVENT_GAP_SQL,
+        "zscore_value_per_event_type": relational.ZSCORE_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,
         "customers_without_orders_bloom": windows.ANTI_JOIN_SQL,

@@ -493,3 +493,81 @@ def revenue_per_orderpriority(
     out["revenue"] = out["revenue"].round(2)
     out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def zscore_value_per_event_type(sf_dir: str):
+    """Grouped feature normalization: z-score each event's value
+    within its event_type — the standard two-pass ML-feature op.
+
+    Pass 1 streams (type, n, sum, sumsq) partials into a tiny groupby
+    (groups are few BY NATURE); the resulting mean/std table is a
+    handful of rows, broadcast via ``ray.put``. Pass 2 streams every
+    event through a vectorized (v - mean) / std. Both engines compute
+    std from the same explicit formula sqrt(sumsq/n - mean²) so the
+    only float divergence is last-ulp, absorbed by ROUND(,6)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = df["value"].astype("float64")
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "v": v, "vv": v * v})
+            .groupby("event_type", sort=False)
+            .agg(n=("v", "size"), s=("v", "sum"), ss=("vv", "sum"))
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g.index.to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(), pa.float64()),
+                "ss": pa.array(g["ss"].to_numpy(), pa.float64()),
+            }
+        )
+
+    events = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    stats = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+    )
+    mean = stats["s"] / stats["n"]
+    std = np.sqrt(stats["ss"] / stats["n"] - mean * mean)
+    keep = std > 0
+    means = dict(zip(stats["event_type"][keep], mean[keep]))
+    stds = dict(zip(stats["event_type"][keep], std[keep]))
+    ref = ray.put((means, stds))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ms, sds = ray.get(ref)
+        df = batch.to_pandas()
+        m = df["event_type"].map(ms).to_numpy(dtype=np.float64)  # NaN if degenerate
+        sd = df["event_type"].map(sds).to_numpy(dtype=np.float64)
+        z = ((df["value"].astype("float64").to_numpy() - m) / sd).round(6)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "zscore": pa.array(z, pa.float64()),
+            }
+        )
+
+    out = events.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ZSCORE_SQL = """
+WITH st AS (
+  SELECT event_type, COUNT(*) AS n, SUM(value) AS s,
+         SUM(value * value) AS ss
+  FROM events GROUP BY 1
+)
+SELECT event_id,
+       ROUND((value - s / n) / sqrt(ss / n - (s / n) * (s / n)), 6) AS zscore
+FROM events JOIN st USING (event_type)
+ORDER BY event_id
+"""
