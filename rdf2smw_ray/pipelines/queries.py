@@ -749,6 +749,36 @@ ORDER BY doc_id
 """
 
 
+def q_pmi_top_bigrams(sf_dir: str):
+    """Collocation mining: top-20 bigrams by PMI (min_count=5); both
+    engines rank on ROUND(pmi,6) with bigram tie-break."""
+    from rdf2smw_ray.pipelines.textstats import pmi_top_bigrams
+
+    return pmi_top_bigrams(_docs(sf_dir, columns=["doc_id", "text"]), k=20, min_count=5)
+
+
+PMI_TOP_BIGRAMS_SQL = r"""
+WITH t AS (SELECT string_split_regex(text, '\s+') AS w FROM documents),
+uni AS (SELECT unnest(w) AS token FROM t),
+uc AS (SELECT token, COUNT(*) AS c FROM uni GROUP BY 1),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uc),
+bg AS (
+  SELECT unnest([w[i] FOR i IN generate_series(1, len(w) - 1)]) AS a,
+         unnest([w[i + 1] FOR i IN generate_series(1, len(w) - 1)]) AS b
+  FROM t WHERE len(w) >= 2
+),
+bc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+nb AS (SELECT CAST(SUM(cab) AS DOUBLE) AS n FROM bc)
+SELECT a || ' ' || b AS bigram,
+       CAST(cab AS BIGINT) AS n,
+       ROUND(ln((cab / (SELECT n FROM nb))
+                / ((ua.c / (SELECT n FROM nu)) * (ub.c / (SELECT n FROM nu)))), 6) AS pmi
+FROM bc JOIN uc ua ON ua.token = a JOIN uc ub ON ub.token = b
+WHERE cab >= 5
+ORDER BY pmi DESC, bigram LIMIT 20
+"""
+
+
 def q_token_count_histogram(sf_dir: str):
     from rdf2smw_ray.pipelines.textstats import token_count_histogram
 
@@ -1686,6 +1716,7 @@ def all_queries():
         "curated_corpus": q_curated_corpus,
         "mixture_sample": q_mixture_sample,
         "token_count_histogram": q_token_count_histogram,
+        "pmi_top_bigrams": q_pmi_top_bigrams,
         "domain_stats": q_domain_stats,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1796,6 +1827,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "curated_corpus": CURATED_CORPUS_SQL,
         "mixture_sample": MIXTURE_SAMPLE_SQL,
         "token_count_histogram": TOKEN_COUNT_HISTOGRAM_SQL,
+        "pmi_top_bigrams": PMI_TOP_BIGRAMS_SQL,
         "domain_stats": DOMAIN_STATS_SQL,
         "bm25_topk": BM25_TOPK_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,

@@ -736,3 +736,96 @@ def mixture_sample(ds, rates_hex: dict, *, key: str = "doc_id", source_col: str 
         return batch.filter(pa.array((h < cuts).to_numpy()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def pmi_top_bigrams(docs, *, k: int = 20, min_count: int = 5):
+    """Top-k collocations by pointwise mutual information:
+    pmi = ln( (c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)) ), restricted to
+    bigrams with at least ``min_count`` occurrences.
+
+    Scale shape: unigram and bigram tables are combiner-first token
+    shuffles; the min_count filter runs BEFORE the two bucketed
+    co-shuffle joins that attach c_a and c_b (the vocabulary never
+    sits on the driver); final selection is per-batch local top-k +
+    a driver-small merge ranked on ROUND(pmi,6) with bigram
+    tie-break."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        toks = texts.str.split()
+        flat = []
+        for t in toks:
+            flat.extend(f"{a} {b}" for a, b in zip(t, t[1:]))
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    freq = token_frequencies(docs)
+    big = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    n_uni = float(freq.sum("c"))
+    n_bi = float(big.sum("n"))
+
+    def split_filter(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["n"] >= min_count]
+        parts = df["bigram"].str.split(" ", n=1, expand=True)
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "tok1": pa.array([], pa.string()),
+                    "tok2": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "bigram": pa.array(df["bigram"].to_numpy(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(), pa.int64()),
+                "tok1": pa.array(parts[0].to_numpy(), pa.string()),
+                "tok2": pa.array(parts[1].to_numpy(), pa.string()),
+            }
+        )
+
+    cand = big.map_batches(split_filter, batch_format="pyarrow")
+    j1 = bucketed_join(cand, freq, key="tok1", right_key="token", right_cols={"c": "ca"})
+    j2 = bucketed_join(j1, freq, key="tok2", right_key="token", right_cols={"c": "cb"})
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = df["n"].to_numpy(dtype=np.float64) / n_bi
+        y = (df["ca"].to_numpy(dtype=np.float64) / n_uni) * (
+            df["cb"].to_numpy(dtype=np.float64) / n_uni
+        )
+        df["pmi"] = np.log(x / y).round(6)
+        df = df.sort_values(["pmi", "bigram"], ascending=[False, True]).head(k)
+        return table_from_pandas(
+            df[["bigram", "n", "pmi"]].reset_index(drop=True), preserve_index=False
+        )
+
+    out = j2.map_batches(score, batch_format="pyarrow").to_pandas()
+    if "bigram" not in out.columns:
+        return pd.DataFrame(
+            {
+                "bigram": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "pmi": pd.Series([], dtype="float64"),
+            }
+        )
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["pmi", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
