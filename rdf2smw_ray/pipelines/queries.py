@@ -193,6 +193,56 @@ def kg_extracted_triples(sf_dir: str):
     return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 
 
+def q_kg_degree_histogram(sf_dir: str):
+    """Graph-shape analytics over the extracted KG: out-degree
+    count-of-counts (how many subjects emit exactly d triples,
+    multiset degree). Two-level aggregation — per-batch subject
+    pre-count, groupby(subj) sum (the only wide shuffle; Entity_0's
+    head-entity skew lands here as one big count, not one big group),
+    then a TINY histogram groupby."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.sources.webpages import synth_web_pages
+    from rdf2smw_ray.stages.extract_text import extract_text
+    from rdf2smw_ray.stages.extract_triples import extract_triples
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    triples = extract_triples(
+        extract_text(synth_web_pages(docs), concurrency=2), concurrency=2
+    )
+
+    def subj_partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch["subj"].to_pylist(), dtype=object).value_counts()
+        return pa.table(
+            {
+                "subj": pa.array(vc.index.to_numpy(), pa.string()),
+                "deg": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch["deg"].to_numpy()).value_counts()
+        return pa.table(
+            {
+                "degree": pa.array(vc.index.to_numpy(), pa.int64()),
+                "n_subjects": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        triples.map_batches(subj_partial, batch_format="pyarrow")
+        .groupby("subj")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_subjects", alias_name="n_subjects"))
+        .to_pandas()
+    )
+    out["degree"] = out["degree"].astype("int64")
+    out["n_subjects"] = out["n_subjects"].astype("int64")
+    return out.sort_values("degree").reset_index(drop=True)
+
+
 KG_EXTRACTED_TRIPLES_SQL = f"""
 WITH d AS (
   SELECT doc_id,
@@ -219,6 +269,15 @@ WITH d AS (
 SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n
 FROM t GROUP BY subj, pred, obj ORDER BY subj, pred, obj
 """
+
+# same triple-multiset CTEs, different rollup: out-degree histogram
+KG_DEGREE_HISTOGRAM_SQL = (
+    KG_EXTRACTED_TRIPLES_SQL.split("SELECT subj, pred, obj, CAST")[0]
+    + """, deg AS (SELECT subj, COUNT(*) AS d FROM t GROUP BY 1)
+SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_subjects
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+)
 
 
 def kg_extracted_triples_robust(sf_dir: str):
@@ -1717,6 +1776,7 @@ def all_queries():
         "mixture_sample": q_mixture_sample,
         "token_count_histogram": q_token_count_histogram,
         "pmi_top_bigrams": q_pmi_top_bigrams,
+        "kg_degree_histogram": q_kg_degree_histogram,
         "domain_stats": q_domain_stats,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1828,6 +1888,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "mixture_sample": MIXTURE_SAMPLE_SQL,
         "token_count_histogram": TOKEN_COUNT_HISTOGRAM_SQL,
         "pmi_top_bigrams": PMI_TOP_BIGRAMS_SQL,
+        "kg_degree_histogram": KG_DEGREE_HISTOGRAM_SQL,
         "domain_stats": DOMAIN_STATS_SQL,
         "bm25_topk": BM25_TOPK_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
