@@ -658,6 +658,9 @@ def unigram_logprob(docs, *, max_vocab: int | None = None, oov_floor_count: floa
         fp = freq.to_pandas()
         total = float(fp["c"].sum())
     else:
+        # consumed twice (total + top-V): materialize the bounded
+        # vocabulary aggregate instead of re-running the corpus scan
+        freq = freq.materialize()
         total = float(freq.sum("c"))
 
         def local_topv(batch: pa.Table) -> pa.Table:
@@ -767,11 +770,15 @@ def pmi_top_bigrams(docs, *, k: int = 20, min_count: int = 5):
             }
         )
 
-    freq = token_frequencies(docs)
+    # materialize the two vocabulary-proportional aggregates: each is
+    # consumed twice (total + join/filter) and would otherwise re-run
+    # its whole corpus-scan lineage per consumer
+    freq = token_frequencies(docs).materialize()
     big = (
         docs.map_batches(bigram_partial, batch_format="pyarrow")
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
+        .materialize()
     )
     n_uni = float(freq.sum("c"))
     n_bi = float(big.sum("n"))
