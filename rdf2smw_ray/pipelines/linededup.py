@@ -35,6 +35,11 @@ def _explode_min_rank(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     texts = pd.Series(batch[text_col].to_pylist(), dtype=object).fillna("")
     lines = texts.str.split("\n")
     counts = lines.map(len).to_numpy()
+    if len(counts) and int(counts.max()) >= MAX_LINES_PER_DOC:
+        raise ValueError(
+            f"document with >= {MAX_LINES_PER_DOC} lines breaks the rank "
+            "encoding; raise MAX_LINES_PER_DOC or pre-chunk the document"
+        )
     df = pd.DataFrame(
         {
             "doc": np.repeat(ids.astype(np.int64), counts),

@@ -73,6 +73,8 @@ def bm25_topk(
     """Top-k docs by BM25 (Lucene idf form: ln((N-df+.5)/(df+.5)+1)).
     Returns a driver-small DataFrame (doc_id, score)."""
     terms_t = tuple(dict.fromkeys(terms))
+    if any(t.startswith("\x00") for t in terms_t):
+        raise ValueError("query terms may not start with NUL (stats marker)")
     df_map, n_docs, total_tokens = _term_stats(docs, terms_t, text_col)
     if n_docs == 0 or not df_map:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})

@@ -352,6 +352,21 @@ def test_hopping_window_membership(ray_session, tmp_path):
     assert out["n"].sum() == 2 * 2  # each event in exactly size/hop windows
 
 
+def test_line_dedup_rejects_monster_doc(ray_session):
+    import pytest
+
+    from rdf2smw_ray.pipelines.linededup import MAX_LINES_PER_DOC, line_dedup_counts
+
+    docs = _ds(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": ["x\n" * MAX_LINES_PER_DOC],
+        }
+    )
+    with pytest.raises(Exception, match="rank\\s+encoding|RayTaskError|lines"):
+        line_dedup_counts(docs).to_pandas()
+
+
 def test_repetition_stats_empty_doc(ray_session):
     out = (
         repetition_stats(
