@@ -270,6 +270,75 @@ SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n
 FROM t GROUP BY subj, pred, obj ORDER BY subj, pred, obj
 """
 
+def q_kg_two_hop(sf_dir: str):
+    """2-hop path counting over works_with edge OCCURRENCES — the
+    multiplicity-preserving distributed self-join (bucketed_join
+    multiplicity='all'): every (occurrence, occurrence) chain a→b→c
+    counts, so a lookup-semantics join would undercount ~25×. n_pairs
+    collapses to distinct (a, c) via a combiner-first pair groupby."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.sources.webpages import synth_web_pages
+    from rdf2smw_ray.stages.extract_text import extract_text
+    from rdf2smw_ray.stages.extract_triples import extract_triples
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    triples = extract_triples(
+        extract_text(synth_web_pages(docs), concurrency=2), concurrency=2
+    )
+
+    def edges_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["pred"], _PROP + "works_with"))
+        return pa.table({"a": t["subj"], "b": t["obj"]})
+
+    edges = triples.map_batches(edges_batch, batch_format="pyarrow")
+    # self-join: left (a, b) ⋈ right (a→key, b→c) on b == right.a
+    paths = bucketed_join(
+        edges,
+        edges,
+        key="b",
+        right_key="a",
+        right_cols={"b": "c"},
+        multiplicity="all",
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["a", "c"], sort=False).size().rename("n").reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    per_pair = (
+        paths.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["a", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_paths": pd.Series([int(per_pair["n"].sum())], dtype="int64"),
+            "n_pairs": pd.Series([len(per_pair)], dtype="int64"),
+        }
+    )
+
+
+# edge multiset mirrors the works_with arm of the triple CTEs
+KG_TWO_HOP_SQL = f"""
+WITH d AS (
+  SELECT (3*doc_id) % 1009 AS e1, (3*doc_id+1) % 1009 AS e2 FROM documents
+), e AS (
+  SELECT '{_ENT}' || e1 AS a, '{_ENT}' || e2 AS b FROM d
+), p AS (
+  SELECT x.a AS a, y.b AS c FROM e x JOIN e y ON x.b = y.a
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT a, c FROM p)) AS BIGINT) AS n_pairs
+FROM p
+"""
+
+
 # same triple-multiset CTEs, different rollup: out-degree histogram
 KG_DEGREE_HISTOGRAM_SQL = (
     KG_EXTRACTED_TRIPLES_SQL.split("SELECT subj, pred, obj, CAST")[0]
@@ -1777,6 +1846,7 @@ def all_queries():
         "token_count_histogram": q_token_count_histogram,
         "pmi_top_bigrams": q_pmi_top_bigrams,
         "kg_degree_histogram": q_kg_degree_histogram,
+        "kg_two_hop": q_kg_two_hop,
         "domain_stats": q_domain_stats,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1889,6 +1959,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "token_count_histogram": TOKEN_COUNT_HISTOGRAM_SQL,
         "pmi_top_bigrams": PMI_TOP_BIGRAMS_SQL,
         "kg_degree_histogram": KG_DEGREE_HISTOGRAM_SQL,
+        "kg_two_hop": KG_TWO_HOP_SQL,
         "domain_stats": DOMAIN_STATS_SQL,
         "bm25_topk": BM25_TOPK_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,

@@ -106,6 +106,7 @@ def bucketed_join(
     right_cols: dict[str, str] | None = None,
     num_buckets: int | None = None,
     est_bytes: int | None = None,
+    multiplicity: str = "lookup",
 ):
     """Join two Datasets on an equi-key via an explicit bucket
     co-shuffle.
@@ -116,18 +117,23 @@ def bucketed_join(
     those without — both shuffle only the right KEY column, per-batch
     deduplicated.
 
-    LOOKUP semantics on the right side: one row per right key (a
-    duplicated key keeps one arbitrary row) — matching left rows are
-    never multiplied. This is the dimension/sidecar-join shape every
-    caller in this engine needs; a multiplicity-preserving SQL join
-    would instead emit the per-bucket pandas merge without the
-    ``drop_duplicates``.
+    ``multiplicity`` (inner/left only):
+
+    - ``"lookup"`` (default): one row per right key — a duplicated key
+      keeps one arbitrary row and matching left rows are never
+      multiplied. The dimension/sidecar shape most callers need.
+    - ``"all"``: true SQL join semantics — every (left row, right row)
+      key match emits a row (self-joins, graph hops, fact×fact).
+      A hot key's match explosion is bounded per bucket, not per task
+      pool: size ``num_buckets`` accordingly.
 
     Returns a Dataset of left rows (plus joined columns for
     inner/left) with the internal tag columns removed.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"bucketed_join: unknown how={how!r}")
+    if multiplicity not in ("lookup", "all"):
+        raise ValueError(f"bucketed_join: unknown multiplicity={multiplicity!r}")
     rkey = right_key or key
     if num_buckets is None:
         if est_bytes is None:
@@ -216,7 +222,9 @@ def bucketed_join(
             mask = left[key].isin(rk)
             return _typed(left[mask] if how == "semi" else left[~mask])
         left = left.drop(columns=[c for c in payload.values() if c in left.columns])
-        right = right[[key, *payload.values()]].drop_duplicates(key)
+        right = right[[key, *payload.values()]]
+        if multiplicity == "lookup":
+            right = right.drop_duplicates(key)
         merged = left.merge(right, on=key, how="left" if how == "left" else "inner")
         return _typed(merged)
 

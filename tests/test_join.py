@@ -199,3 +199,31 @@ def test_join_preserves_large_int64_exactly(ray_session):
             left, right, key="k", how=how, num_buckets=4
         ).to_pandas()
         assert sorted(out["seq"]) == sorted(seqs.tolist()), how
+
+
+def test_bucketed_join_multiplicity_all(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2], pa.int64()), "lv": ["a", "b", "c"]})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 1, 3], pa.int64()), "rv": ["x", "y", "z"]})
+    )
+    # lookup: each left row matches at most once
+    look = bucketed_join(left, right, key="k", num_buckets=2).to_pandas()
+    assert len(look) == 2  # k=1 left rows a,b each matched once; k=2 dropped
+    # all: k=1 (2 left × 2 right) = 4 rows
+    allm = (
+        bucketed_join(left, right, key="k", num_buckets=2, multiplicity="all")
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(allm) == 4
+    assert sorted(map(tuple, allm[["lv", "rv"]].to_numpy())) == [
+        ("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+    ]
