@@ -1204,6 +1204,79 @@ SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_props_k_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field k out of the
+    events.props JSON string (one vectorized C-regex per batch — no
+    per-row json.loads) and roll it up per event_type. The oracle
+    extracts with the same RE2-compatible pattern."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+
+    events = cached_table(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        k = (
+            df["props"]
+            .astype(str)
+            .str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        ok = k.notna()
+        g = (
+            pd.DataFrame({"event_type": df["event_type"][ok], "k": k[ok].astype("int64")})
+            .groupby("event_type", sort=False)["k"]
+            .agg(n="size", s="sum", mn="min", mx="max")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g.index.to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy().astype(np.int64), pa.int64()),
+                "mn": pa.array(g["mn"].to_numpy().astype(np.int64), pa.int64()),
+                "mx": pa.array(g["mx"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+        .to_pandas()
+    )
+    out["avg_k"] = (out["s"] / out["n"]).round(6)
+    for c in ("n", "mn", "mx"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["event_type", "n", "avg_k", "mn", "mx"]]
+        .rename(columns={"mn": "min_k", "mx": "max_k"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+PROPS_K_STATS_SQL = r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+  FROM events
+  WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(k) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_domain_stats(sf_dir: str):
     """Per-domain rollup over the synthetic crawl: the Ray side REALLY
     parses host/path out of the url strings; the oracle rebuilds both
@@ -1847,6 +1920,7 @@ def all_queries():
         "pmi_top_bigrams": q_pmi_top_bigrams,
         "kg_degree_histogram": q_kg_degree_histogram,
         "kg_two_hop": q_kg_two_hop,
+        "props_k_stats": q_props_k_stats,
         "domain_stats": q_domain_stats,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1960,6 +2034,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "pmi_top_bigrams": PMI_TOP_BIGRAMS_SQL,
         "kg_degree_histogram": KG_DEGREE_HISTOGRAM_SQL,
         "kg_two_hop": KG_TWO_HOP_SQL,
+        "props_k_stats": PROPS_K_STATS_SQL,
         "domain_stats": DOMAIN_STATS_SQL,
         "bm25_topk": BM25_TOPK_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
