@@ -1948,6 +1948,7 @@ def all_queries():
         "funnel_steps": windows.funnel_steps,
         "hopping_window_counts": windows.hopping_window_counts,
         "inter_event_gap_stats": windows.inter_event_gap_stats,
+        "running_user_total": windows.running_user_total,
         "zscore_value_per_event_type": relational.zscore_value_per_event_type,
         "latest_event_per_user": windows.latest_event_per_user,
         "customers_without_orders": windows.customers_without_orders,
@@ -2060,6 +2061,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "funnel_steps": windows.FUNNEL_SQL,
         "hopping_window_counts": windows.HOPPING_WINDOW_SQL,
         "inter_event_gap_stats": windows.INTER_EVENT_GAP_SQL,
+        "running_user_total": windows.RUNNING_TOTAL_SQL,
         "zscore_value_per_event_type": relational.ZSCORE_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,

@@ -600,3 +600,40 @@ SELECT event_type,
        ROUND(SUM(epoch_us(ts - prev)) / 1e6 / COUNT(*), 6) AS mean_gap_s
 FROM x WHERE prev IS NOT NULL GROUP BY 1 ORDER BY 1
 """
+
+
+def running_user_total(sf_dir: str) -> pd.DataFrame:
+    """Running per-user total of value in event-time order — the
+    cumulative window aggregate (SUM OVER PARTITION BY user ORDER BY
+    ts). One user-bucket shuffle; inside a bucket one mergesort by
+    (user, ts, event_id) and a seam-reset vectorized cumsum. Both
+    engines accumulate in the same per-user order, so ROUND(,2) is
+    stable."""
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # grouped cumsum accumulates PER USER in sort order — the same
+        # addition order as the SQL window, so floats agree to the ulp
+        run = df.groupby("user_id", sort=False)["value"].cumsum().to_numpy()
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "running_total": pa.array(np.round(run, 2), pa.float64()),
+            }
+        )
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "value"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+RUNNING_TOTAL_SQL = """
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM events ORDER BY event_id
+"""
