@@ -1949,6 +1949,7 @@ def all_queries():
         "hopping_window_counts": windows.hopping_window_counts,
         "inter_event_gap_stats": windows.inter_event_gap_stats,
         "running_user_total": windows.running_user_total,
+        "hopping_window_distinct_users": windows.hopping_window_distinct_users,
         "zscore_value_per_event_type": relational.zscore_value_per_event_type,
         "latest_event_per_user": windows.latest_event_per_user,
         "customers_without_orders": windows.customers_without_orders,
@@ -2062,6 +2063,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "hopping_window_counts": windows.HOPPING_WINDOW_SQL,
         "inter_event_gap_stats": windows.INTER_EVENT_GAP_SQL,
         "running_user_total": windows.RUNNING_TOTAL_SQL,
+        "hopping_window_distinct_users": windows.HOPPING_DISTINCT_SQL,
         "zscore_value_per_event_type": relational.ZSCORE_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,

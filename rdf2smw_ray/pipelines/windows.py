@@ -637,3 +637,72 @@ SELECT event_id,
                               ROWS UNBOUNDED PRECEDING), 2) AS running_total
 FROM events ORDER BY event_id
 """
+
+
+def hopping_window_distinct_users(
+    sf_dir: str, size_hours: int = 2, hop_hours: int = 1
+) -> pd.DataFrame:
+    """Windowed COUNT DISTINCT: unique users per hopping window — the
+    other canonical streaming aggregate (dashboards' 'active users per
+    sliding window'). Per batch the (window, user) pairs are
+    pre-deduplicated (combiner), the exact distinct happens in ONE
+    groupby over the composite pair, and the per-window count is a
+    second tiny groupby — the same two-level shape as exact
+    distinct-path counting, never a per-window user set on any single
+    node."""
+    from ray.data.aggregate import Count, Sum
+
+    assert size_hours % hop_hours == 0
+    k = size_hours // hop_hours
+    hop_us = hop_hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, len(base)
+        )
+        df = pd.DataFrame(
+            {"ws_us": starts, "user_id": np.repeat(users, k)}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "ws_us": pa.array(df["ws_us"].to_numpy(), pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch["ws_us"].to_numpy()).value_counts()
+        return pa.table(
+            {
+                "ws_us": pa.array(vc.index.to_numpy(), pa.int64()),
+                "n_users": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["ws_us", "user_id"])
+        .aggregate(Count(alias_name="dummy"))
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("ws_us")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["ws_us", "n_users"]].sort_values("ws_us").reset_index(drop=True)
+
+
+HOPPING_DISTINCT_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS base FROM events
+),
+w AS (
+  SELECT user_id, unnest([base, base - 3600000000]) AS ws_us FROM e
+)
+SELECT ws_us, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY 1 ORDER BY 1
+"""
