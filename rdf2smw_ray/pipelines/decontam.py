@@ -89,3 +89,96 @@ def decontaminate(docs, *, bench_source: str, n: int = 13):
         )
 
     return train.map_batches(score, batch_format="pyarrow")
+
+
+def decontaminate_distributed(docs, *, bench_source: str, n: int = 13):
+    """Same contract as :func:`decontaminate`, but the benchmark n-gram
+    set is NEVER collected to the driver — the path for an eval suite
+    too large to broadcast (or a corpus-vs-corpus overlap audit).
+
+    Shape: both sides explode to gram rows (training side keeps
+    (doc_id, gram) with a per-batch (doc, gram)→count combiner so
+    repeated grams inside a doc shuffle once), then ONE bucketed
+    semi-join on the gram key keeps training gram rows that exist in
+    the benchmark, and a groupby(doc_id) sum yields per-doc hit
+    counts; docs with no hits are restored by a left join against the
+    training doc ids."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    bench = docs.map_batches(
+        lambda t, s=bench_source: t.filter(pc.equal(t["source"], s)),
+        batch_format="pyarrow",
+    )
+    train = docs.map_batches(
+        lambda t, s=bench_source: t.filter(pc.not_equal(t["source"], s)),
+        batch_format="pyarrow",
+    )
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        _, grams = _flat_grams(texts, n)
+        return pa.table({"gram": pa.array(pd.unique(grams), pa.string())})
+
+    def train_grams(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_idx, grams = _flat_grams(texts, n)
+        g = (
+            pd.DataFrame({"doc_id": ids[doc_idx], "gram": grams})
+            .groupby(["doc_id", "gram"], sort=False)
+            .size()
+            .rename("n_pos")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "gram": pa.array(g["gram"].to_numpy(), pa.string()),
+                "n_pos": pa.array(g["n_pos"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hits = bucketed_join(
+        train.map_batches(train_grams, batch_format="pyarrow"),
+        bench.map_batches(bench_grams, batch_format="pyarrow"),
+        key="gram",
+        how="semi",
+    )
+
+    def hit_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("doc_id", sort=False)["n_pos"].sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "n_hits": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_doc_hits = (
+        hits.map_batches(hit_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_hits", alias_name="n_hits"))
+    )
+    train_ids = train.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    joined = bucketed_join(
+        train_ids, per_doc_hits, key="doc_id", how="left", right_cols={"n_hits": "n_hits"}
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        hitsv = batch["n_hits"].to_pandas().fillna(0).astype("int64").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pa.array(hitsv, pa.int64()),
+                "contaminated": pa.array(hitsv > 0, pa.bool_()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

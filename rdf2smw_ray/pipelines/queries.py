@@ -1049,6 +1049,20 @@ FROM agg a LEFT JOIN gagg USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_decontaminate_dist(sf_dir: str):
+    """The no-broadcast decontamination path (bench grams semi-joined,
+    never driver-collected) under the SAME oracle as the broadcast
+    path — one SQL statement validates both engines' engine paths."""
+    from rdf2smw_ray.pipelines.decontam import decontaminate_distributed
+
+    out = decontaminate_distributed(
+        _docs(sf_dir, columns=["doc_id", "text", "source"]),
+        bench_source="src0",
+        n=5,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_quality_filter(sf_dir: str):
     from rdf2smw_ray.pipelines.textstats import quality_filter
 
@@ -1925,6 +1939,7 @@ def all_queries():
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
+        "decontaminate_dist": q_decontaminate_dist,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         # dedup
@@ -2041,6 +2056,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "bm25_topk": BM25_TOPK_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "decontaminate": DECONTAMINATE_SQL,
+        "decontaminate_dist": DECONTAMINATE_SQL,
         "lang_id": LANG_ID_SQL,
         # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,
         # embedding_near_dup: blake2b/seeded-plane-derived → rows-only;

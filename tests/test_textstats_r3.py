@@ -115,6 +115,37 @@ def test_decontaminate_flags_exact_overlaps_only(ray_session):
     assert out["contaminated"].tolist() == [True, False, False]
 
 
+def test_decontaminate_distributed_equals_broadcast(ray_session):
+    from rdf2smw_ray.pipelines.decontam import decontaminate_distributed
+
+    docs = _ds(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "source": ["bench", "train", "train", "train"],
+            "text": [
+                "one two three four five six",
+                "zz one two three four five yy one two three four five",
+                "one two three XX five six",
+                "totally different words here now",
+            ],
+        }
+    )
+    a = (
+        decontaminate(docs, bench_source="bench", n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        decontaminate_distributed(docs, bench_source="bench", n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["n_hits"].tolist() == [2, 0, 0]  # doc 1 repeats the hit gram twice
+
+
 def test_benchmark_ngrams_respects_doc_boundaries(ray_session):
     # two 3-token docs: no 5-gram may span the seam
     bench = _ds(
