@@ -1913,6 +1913,7 @@ def all_queries():
         "median_value_per_event_type": relational.median_value_per_event_type,
         "median_value_per_user_bucket": relational.median_value_per_user_bucket,
         "orders_price_tiers": relational.orders_price_tiers,
+        "cust_urgent_low_outer": relational.cust_urgent_low_outer,
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -2072,6 +2073,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "median_value_per_event_type": relational.MEDIAN_SQL,
         "median_value_per_user_bucket": relational.MEDIAN_USER_BUCKET_SQL,
         "orders_price_tiers": relational.PRICE_TIERS_SQL,
+        "cust_urgent_low_outer": relational.CUST_URGENT_LOW_OUTER_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,

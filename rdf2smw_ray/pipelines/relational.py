@@ -571,3 +571,76 @@ SELECT event_id,
 FROM events JOIN st USING (event_type)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: per-customer URGENT vs LOW order counts.  Exercises
+# bucketed_join(how="outer") — unmatched keys from BOTH sides survive,
+# null-padded through the fixed Arrow schema, then COALESCEd to 0
+# (count semantics) so the oracle compare is integer-exact.
+# ---------------------------------------------------------------------------
+def cust_urgent_low_outer(sf_dir: str) -> pd.DataFrame:
+    """Per-customer order counts at two priorities, FULL OUTER joined.
+
+    Each side is a combiner-first count (per-batch groupby → small
+    final groupby), then one bucketed co-shuffle outer join on
+    o_custkey. Customers with only one of the two priorities prove the
+    outer semantics (an inner join drops ~25%% of rows at sf0.01)."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def side(priority: str, out: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = (
+                df[df["o_orderpriority"] == priority]
+                .groupby("o_custkey", sort=False)
+                .size()
+            )
+            return pa.table(
+                {
+                    "o_custkey": pa.array(g.index.to_numpy(), pa.int64()),
+                    out: pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum(out, alias_name=out))
+        )
+
+    joined = bucketed_join(
+        side("1-URGENT", "n_urgent"),
+        side("5-LOW", "n_low"),
+        key="o_custkey",
+        how="outer",
+        right_cols={"n_low": "n_low"},
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "o_custkey": joined["o_custkey"].astype("int64"),
+            "n_urgent": joined["n_urgent"].fillna(0).astype("int64"),
+            "n_low": joined["n_low"].fillna(0).astype("int64"),
+        }
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+CUST_URGENT_LOW_OUTER_SQL = """
+WITH u AS (
+  SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+  WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+), l AS (
+  SELECT o_custkey, COUNT(*) AS n_low FROM orders
+  WHERE o_orderpriority = '5-LOW' GROUP BY 1
+)
+SELECT COALESCE(u.o_custkey, l.o_custkey) AS o_custkey,
+       CAST(COALESCE(n_urgent, 0) AS BIGINT) AS n_urgent,
+       CAST(COALESCE(n_low, 0) AS BIGINT) AS n_low
+FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
+ORDER BY 1
+"""

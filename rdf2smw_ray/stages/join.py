@@ -1,4 +1,4 @@
-"""Reusable bucketed hash join — inner / left / semi / anti.
+"""Reusable bucketed hash join — inner / left / right / outer / semi / anti.
 
 The engine owns its join: both sides are tagged with
 ``hash(key) % num_buckets``, co-shuffled by one ``groupby(bucket)``,
@@ -111,13 +111,16 @@ def bucketed_join(
     """Join two Datasets on an equi-key via an explicit bucket
     co-shuffle.
 
-    ``how``: ``inner`` / ``left`` append ``right_cols`` (src → dst
-    mapping; defaults to every non-key right column) to matching left
-    rows; ``semi`` keeps left rows with a right match, ``anti`` keeps
-    those without — both shuffle only the right KEY column, per-batch
-    deduplicated.
+    ``how``: ``inner`` / ``left`` / ``right`` / ``outer`` append
+    ``right_cols`` (src → dst mapping; defaults to every non-key right
+    column) to matching left rows; ``right`` additionally keeps
+    unmatched right rows (left columns null), ``outer`` keeps unmatched
+    rows from BOTH sides — full SQL outer-join semantics, null-padded
+    through the same fixed Arrow output schema. ``semi`` keeps left
+    rows with a right match, ``anti`` keeps those without — both
+    shuffle only the right KEY column, per-batch deduplicated.
 
-    ``multiplicity`` (inner/left only):
+    ``multiplicity`` (inner/left/right/outer):
 
     - ``"lookup"`` (default): one row per right key — a duplicated key
       keeps one arbitrary row and matching left rows are never
@@ -130,7 +133,7 @@ def bucketed_join(
     Returns a Dataset of left rows (plus joined columns for
     inner/left) with the internal tag columns removed.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"bucketed_join: unknown how={how!r}")
     if multiplicity not in ("lookup", "all"):
         raise ValueError(f"bucketed_join: unknown multiplicity={multiplicity!r}")
@@ -225,7 +228,7 @@ def bucketed_join(
         right = right[[key, *payload.values()]]
         if multiplicity == "lookup":
             right = right.drop_duplicates(key)
-        merged = left.merge(right, on=key, how="left" if how == "left" else "inner")
+        merged = left.merge(right, on=key, how=how)
         return _typed(merged)
 
     return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")

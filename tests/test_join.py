@@ -74,6 +74,24 @@ def test_left_join_matches_pandas():
     )
 
 
+@pytest.mark.parametrize("how", ["right", "outer"])
+def test_right_outer_join_matches_pandas(how):
+    left, right = _mk()
+    got = _run(left, right, how, right_cols={"rv": "rv"}, multiplicity="all")
+    want = left.merge(right.rename(columns={"rk": "k"}), on="k", how=how)
+    for c in ("lv", "rv"):
+        got[c] = got[c].astype("float64")
+        want[c] = want[c].astype("float64")
+    got["k"] = got["k"].astype("int64")
+    want["k"] = want["k"].astype("int64")
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"])
+    )
+    if how == "outer":
+        # unmatched rows from BOTH sides must survive, null-padded
+        assert got["lv"].isna().any() and got["rv"].isna().any()
+
+
 @pytest.mark.parametrize("how", ["semi", "anti"])
 def test_semi_anti_join_matches_pandas(how):
     left, right = _mk()
