@@ -1966,6 +1966,9 @@ def all_queries():
         "inter_event_gap_stats": windows.inter_event_gap_stats,
         "running_user_total": windows.running_user_total,
         "hopping_window_distinct_users": windows.hopping_window_distinct_users,
+        "user_event_path": windows.user_event_path,
+        "rolling_value_sum": windows.rolling_value_sum,
+        "cohort_retention": windows.cohort_retention,
         "zscore_value_per_event_type": relational.zscore_value_per_event_type,
         "latest_event_per_user": windows.latest_event_per_user,
         "customers_without_orders": windows.customers_without_orders,
@@ -2082,6 +2085,9 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "inter_event_gap_stats": windows.INTER_EVENT_GAP_SQL,
         "running_user_total": windows.RUNNING_TOTAL_SQL,
         "hopping_window_distinct_users": windows.HOPPING_DISTINCT_SQL,
+        "user_event_path": windows.USER_EVENT_PATH_SQL,
+        "rolling_value_sum": windows.ROLLING_VALUE_SUM_SQL,
+        "cohort_retention": windows.COHORT_RETENTION_SQL,
         "zscore_value_per_event_type": relational.ZSCORE_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "customers_without_orders": windows.ANTI_JOIN_SQL,

@@ -706,3 +706,139 @@ w AS (
 SELECT ws_us, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY 1 ORDER BY 1
 """
+
+
+def user_event_path(sf_dir: str) -> pd.DataFrame:
+    """Ordered string aggregation: each user's event-type sequence in
+    event-time order, joined with '>' — SQL's STRING_AGG(... ORDER BY)
+    as one user-bucket shuffle + per-bucket mergesort + grouped join.
+    The per-key payload is bounded by one user's history (the same
+    assumption every ORDER BY-inside-group SQL engine makes when it
+    spills a partition)."""
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return pa.table(
+            {
+                "user_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "path": pa.array(g.to_numpy(), pa.string()),
+            }
+        )
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_EVENT_PATH_SQL = """
+SELECT user_id, STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def rolling_value_sum(sf_dir: str, preceding: int = 2) -> pd.DataFrame:
+    """Rolling k-row window aggregate (SUM ... ROWS BETWEEN k PRECEDING
+    AND CURRENT ROW) per user in event-time order. Values move as
+    integer cents (floor(value*100) — floor is the one rounding both
+    engines compute identically on IEEE doubles), so the rolling sum is
+    exact int64 arithmetic with no float addition-order hazard.
+    Vectorized: per bucket one mergesort, then the window is the sum of
+    k+1 lag terms masked by same-user-at-lag."""
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        users = df["user_id"].to_numpy()
+        total = cents.copy()
+        for lag in range(1, preceding + 1):
+            same = np.zeros(len(users), dtype=bool)
+            same[lag:] = users[lag:] == users[:-lag]
+            shifted = np.zeros_like(cents)
+            shifted[lag:] = cents[:-lag]
+            total += np.where(same, shifted, 0)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "cents3": pa.array(total, pa.int64()),
+            }
+        )
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "value"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ROLLING_VALUE_SUM_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents3
+FROM events ORDER BY event_id
+"""
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week
+    (cohort), counted distinct per week offset. One user-bucket
+    shuffle; because a user's history is complete inside its bucket,
+    the per-user first week AND the distinct (cohort, offset, user)
+    set are both computed locally — only pre-counted (cohort, offset,
+    n) rows reach the final groupby."""
+    from ray.data.aggregate import Sum
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        week = (
+            df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) // _WEEK_US
+        )
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "week": week})
+        first = d.groupby("user_id", sort=False)["week"].transform("min")
+        d["cohort_week"] = first
+        d["week_offset"] = d["week"] - first
+        g = (
+            d.drop_duplicates(["cohort_week", "week_offset", "user_id"])
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+        )
+        idx = g.index.to_frame(index=False)
+        return pa.table(
+            {
+                "cohort_week": pa.array(idx["cohort_week"].to_numpy(), pa.int64()),
+                "week_offset": pa.array(idx["week_offset"].to_numpy(), pa.int64()),
+                "n_users": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "ts"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out = out.astype({"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"})
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
+COHORT_RETENTION_SQL = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), f AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
