@@ -1914,6 +1914,10 @@ def all_queries():
         "median_value_per_user_bucket": relational.median_value_per_user_bucket,
         "orders_price_tiers": relational.orders_price_tiers,
         "cust_urgent_low_outer": relational.cust_urgent_low_outer,
+        "rollup_pricing": relational.rollup_pricing,
+        "event_type_pivot": relational.event_type_pivot,
+        "mode_event_type": relational.mode_event_type,
+        "price_histogram": relational.price_histogram,
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -2077,6 +2081,10 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "median_value_per_user_bucket": relational.MEDIAN_USER_BUCKET_SQL,
         "orders_price_tiers": relational.PRICE_TIERS_SQL,
         "cust_urgent_low_outer": relational.CUST_URGENT_LOW_OUTER_SQL,
+        "rollup_pricing": relational.ROLLUP_PRICING_SQL,
+        "event_type_pivot": relational.EVENT_TYPE_PIVOT_SQL,
+        "mode_event_type": relational.MODE_EVENT_TYPE_SQL,
+        "price_histogram": relational.PRICE_HISTOGRAM_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,

@@ -644,3 +644,222 @@ SELECT COALESCE(u.o_custkey, l.o_custkey) AS o_custkey,
 FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP multi-level aggregate: (flag, status) -> (flag) -> () in ONE
+# pass over the base table.  The finest level is a combiner-first
+# groupby; the coarser levels re-aggregate the finest RESULT (bounded
+# by key cardinality, not data size) — the standard rollup cube
+# optimization.  l_quantity is integer-valued, so sums are exact under
+# any addition order and the re-aggregation is oracle-safe.
+# ---------------------------------------------------------------------------
+def rollup_pricing(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(g["l_linestatus"], pa.string()),
+                "sum_qty": pa.array(g["sum_qty"].to_numpy(), pa.float64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    mid = (
+        fine.groupby("l_returnflag", as_index=False)[["sum_qty", "n"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    top = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [fine["sum_qty"].sum()],
+            "n": [fine["n"].sum()],
+        }
+    )
+    out = pd.concat([fine, mid, top], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "n"]
+    ]
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+ROLLUP_PRICING_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot: long (user, event_type) -> wide per-user count columns.
+# Per-batch crosstab combiner, then one groupby summing the five fixed
+# columns — the wide schema is declared up front, so the shuffle
+# carries ≤1 row per user per batch.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        wide = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .unstack("event_type")
+            .reindex(columns=list(_EVENT_TYPES))
+            .fillna(0)
+            .astype("int64")
+        )
+        arrays = {"user_id": pa.array(wide.index.to_numpy(), pa.int64())}
+        for t, c in zip(_EVENT_TYPES, cols):
+            arrays[c] = pa.array(wide[t].to_numpy(), pa.int64())
+        return pa.table(arrays)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    out = out.astype({c: "int64" for c in ["user_id", *cols]})
+    return out[["user_id", *cols]].sort_values("user_id").reset_index(drop=True)
+
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mode per key: each user's most frequent event type, ties broken
+# lexicographically — combiner-first (user, type, n) counts, then the
+# coarse-bucketed keyed argmax from stages/reduce.py (never a
+# per-user Python reduce, never a single final task).
+# ---------------------------------------------------------------------------
+def mode_event_type(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.reduce import keyed_first
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["user_id", "event_type"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table(
+            {
+                "user_id": pa.array(idx["user_id"].to_numpy(), pa.int64()),
+                "event_type": pa.array(idx["event_type"], pa.string()),
+                "n": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    best = keyed_first(
+        counts, ["user_id"], ["n", "event_type"], [False, True]
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "user_id": best["user_id"].astype("int64"),
+            "mode_type": best["event_type"].astype(str),
+            "n": best["n"].astype("int64"),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+MODE_EVENT_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram with data-derived bounds: pass 1 = global
+# min/max aggregate; pass 2 = per-batch binning combiner + tiny final
+# groupby.  bin = FLOOR((v-min)/w) is the identical IEEE expression in
+# both engines, so the assignment is bit-deterministic.
+# ---------------------------------------------------------------------------
+def price_histogram(sf_dir: str, nbins: int = 10) -> pd.DataFrame:
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    mm = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    lo, hi = float(mm["min(o_totalprice)"]), float(mm["max(o_totalprice)"])
+    width = (hi - lo) / nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor((v - lo) / width), nbins - 1).astype(np.int64)
+        vc = pd.Series(b).value_counts()
+        return pa.table(
+            {
+                "bin": pa.array(vc.index.to_numpy(), pa.int64()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .astype({"bin": "int64", "n": "int64"})
+    )
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+PRICE_HISTOGRAM_SQL = """
+WITH mm AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders, mm GROUP BY 1 ORDER BY 1
+"""
