@@ -130,3 +130,142 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             batch_format="pyarrow",
         ).materialize()
     return pr
+
+
+def _canon_undirected(edges_ds, src_col: str, dst_col: str):
+    """Distinct undirected edge set, canonically oriented (a < b
+    lexicographically, self-loops dropped) — one groupby-distinct."""
+    import pyarrow.compute as pc
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u, v = batch[src_col], batch[dst_col]
+        keep = pc.invert(pc.equal(u, v))
+        u, v = u.filter(keep), v.filter(keep)
+        lt = pc.less(u, v)
+        return pa.table(
+            {
+                "a": pc.if_else(lt, u, v),
+                "b": pc.if_else(lt, v, u),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+
+_PAIR_SEP = "\x1f"
+
+
+def triangle_count(edges_ds, *, src_col: str = "src", dst_col: str = "dst") -> int:
+    """Exact triangle count over the distinct undirected edge set.
+
+    Canonical orientation (a < b) means every triangle a<b<c is
+    produced exactly once: wedge join (a,b)⋈(b,c) via the bucketed
+    co-shuffle with multiplicity='all', then a semi join of the wedge's
+    (a,c) pair key against the edge set closes it. No adjacency list is
+    ever held on one node; the wedge explosion is bounded per hash
+    bucket (degree-skewed hubs land in one bucket whose width scales
+    with input via tuning.auto_buckets)."""
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    edges = _canon_undirected(edges_ds, src_col, dst_col)
+
+    wedges = bucketed_join(
+        edges, edges, key="b", right_key="a", right_cols={"b": "c"},
+        multiplicity="all",
+    )
+
+    def wedge_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"pk": pc.binary_join_element_wise(batch["a"], batch["c"], _PAIR_SEP)}
+        )
+
+    def edge_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"pk": pc.binary_join_element_wise(batch["a"], batch["b"], _PAIR_SEP)}
+        )
+
+    closed = bucketed_join(
+        wedges.map_batches(wedge_key, batch_format="pyarrow"),
+        edges.map_batches(edge_key, batch_format="pyarrow"),
+        key="pk",
+        how="semi",
+    )
+    return closed.count()
+
+
+def bfs_distances(
+    edges_ds, seed: str, *, src_col: str = "src", dst_col: str = "dst",
+    max_hops: int = 4,
+):
+    """Shortest hop distance from ``seed`` over the undirected distinct
+    edge set, capped at ``max_hops`` — iterative BFS where every step
+    is a Dataset op: frontier ⋈ edges (bucketed co-shuffle) expands,
+    groupby(node).min(dist) contracts. The frontier at level h is
+    exactly the nodes whose min distance is h, so each edge is expanded
+    at most twice overall."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    canon = _canon_undirected(edges_ds, src_col, dst_col)
+    # both orientations for traversal
+    edges = canon.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    dist = rd.from_items([{"node": seed, "dist": 0}]).materialize()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = bucketed_join(
+            frontier.select_columns(["node"]),
+            edges,
+            key="node",
+            right_key="u",
+            right_cols={"v": "nbr"},
+            multiplicity="all",
+        ).map_batches(
+            lambda t, h=h: pa.table(
+                {
+                    "node": t["nbr"],
+                    "dist": pa.array(
+                        np.full(len(t), h, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = (
+            dist.union(reached)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+        frontier = dist.map_batches(
+            lambda t, h=h: t.filter(pc.equal(t["dist"], pa.scalar(h, pa.int64()))),
+            batch_format="pyarrow",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+    return dist

@@ -339,6 +339,90 @@ FROM p
 """
 
 
+def _kg_edges(sf_dir: str, preds: tuple[str, ...]):
+    """(src, dst) edge occurrences from the extracted-triple stream,
+    filtered to the given predicate local names."""
+    import pyarrow.compute as pc
+
+    from rdf2smw_ray.sources.webpages import synth_web_pages
+    from rdf2smw_ray.stages.extract_text import extract_text
+    from rdf2smw_ray.stages.extract_triples import extract_triples
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    triples = extract_triples(
+        extract_text(synth_web_pages(docs), concurrency=2), concurrency=2
+    )
+    wanted = [_PROP + p for p in preds]
+
+    def edges_batch(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["pred"], value_set=pa.array(wanted)))
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    return triples.map_batches(edges_batch, batch_format="pyarrow")
+
+
+def q_kg_triangles(sf_dir: str):
+    """Exact triangle count over the undirected works_with ∪ refers_to
+    entity graph — wedge join + pair-key semi-join closure
+    (graph.triangle_count), every step a bucketed Dataset op. The
+    refers_to hub star × works_with chain produces real triangles
+    (hub, i, i+1)."""
+    from rdf2smw_ray.pipelines.graph import triangle_count
+
+    n = triangle_count(_kg_edges(sf_dir, ("works_with", "refers_to")))
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+KG_TRIANGLES_SQL = f"""
+WITH d AS (
+  SELECT (3*doc_id) % 1009 AS e1, (3*doc_id+1) % 1009 AS e2 FROM documents
+), raw AS (
+  SELECT '{_ENT}' || e1 AS u, '{_ENT}' || e2 AS v FROM d
+  UNION ALL SELECT '{_ENT}' || e1, '{_ENT}' || '0' FROM d
+), e AS (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM raw WHERE u <> v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e x JOIN e y ON x.b = y.a JOIN e z ON z.a = x.a AND z.b = y.b
+"""
+
+
+def q_kg_bfs(sf_dir: str):
+    """Shortest hop distances (≤4) from a seed entity over the
+    undirected works_with graph — iterative frontier BFS where every
+    step is a bucketed join + min-groupby (graph.bfs_distances); the
+    oracle is a bounded recursive CTE taking MIN over enumerated
+    walks."""
+    from rdf2smw_ray.pipelines.graph import bfs_distances
+
+    dist = bfs_distances(
+        _kg_edges(sf_dir, ("works_with",)), _ENT + "2", max_hops=4
+    ).to_pandas()
+    dist["node"] = dist["node"].astype(str)
+    dist["dist"] = dist["dist"].astype("int64")
+    return dist.sort_values("node").reset_index(drop=True)
+
+
+KG_BFS_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT (3*doc_id) % 1009 AS e1, (3*doc_id+1) % 1009 AS e2 FROM documents
+), raw AS (
+  SELECT '{_ENT}' || e1 AS u, '{_ENT}' || e2 AS v FROM d
+), e0 AS (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM raw WHERE u <> v
+), e AS (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+), walk AS (
+  SELECT '{_ENT}2' AS node, 0 AS dist
+  UNION ALL
+  SELECT e.v, walk.dist + 1 FROM walk JOIN e ON e.u = walk.node
+  WHERE walk.dist < 4
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY 1 ORDER BY 1
+"""
+
+
 # same triple-multiset CTEs, different rollup: out-degree histogram
 KG_DEGREE_HISTOGRAM_SQL = (
     KG_EXTRACTED_TRIPLES_SQL.split("SELECT subj, pred, obj, CAST")[0]
@@ -1899,6 +1983,8 @@ def all_queries():
         "kg_page_facts": kg_page_facts,
         "kg_incremental": kg_incremental,
         "kg_pagerank": kg_pagerank,
+        "kg_triangles": q_kg_triangles,
+        "kg_bfs": q_kg_bfs,
         "kg_category_filter": kg_category_filter,
         "kg_pages": kg_pages,
         # relational operator inventory
@@ -1996,6 +2082,8 @@ def all_oracle_sql():
         "kg_page_facts": KG_PAGE_FACTS_SQL,
         "kg_incremental": KG_PAGE_FACTS_SQL,  # upsert(base, delta) ≡ full build
         "kg_pagerank": KG_PAGERANK_SQL,
+        "kg_triangles": KG_TRIANGLES_SQL,
+        "kg_bfs": KG_BFS_SQL,
         "kg_category_filter": KG_CATEGORY_FILTER_SQL,
         # kg_pages: non-SQL-expressible (full pipeline) → rows-only
         "pricing_summary": """
