@@ -355,3 +355,70 @@ def embedding_norm_stats(embeddings):
         .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("sum_norm", alias_name="sum_norm"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def label_centroid_norm(embeddings) -> pd.DataFrame:
+    """Per-label centroid (mean vector) L2 norm — the vector-column
+    aggregate: each batch reduces its embeddings to per-(label, dim)
+    partial sums via one zero-copy matrix + np.add.reduceat, the
+    groupby carries only labels × dims rows, and the norm is evaluated
+    on the tiny centroid table. No (n, d) matrix ever leaves a
+    batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        m, labels = m[order], labels[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], labels[1:] != labels[:-1]))
+        )
+        sums = np.add.reduceat(m, starts, axis=0)
+        counts = np.diff(np.append(starts, len(labels)))
+        uniq = labels[starts]
+        d = m.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, d).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["c"] = agg["s"] / agg["n"]
+    norms = (
+        agg.groupby("label")["c"]
+        .apply(lambda c: float(np.sqrt((c.to_numpy() ** 2).sum())))
+        .round(6)
+    )
+    out = pd.DataFrame(
+        {
+            "label": norms.index.to_numpy().astype("int64"),
+            "centroid_norm": norms.to_numpy(),
+        }
+    )
+    return out.sort_values("label").reset_index(drop=True)
+
+
+LABEL_CENTROID_NORM_SQL = """
+WITH x AS (
+  -- two unnests in one SELECT zip positionally in DuckDB
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), c AS (
+  SELECT label, dim, SUM(v) / COUNT(*) AS c FROM x GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label,
+       ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm
+FROM c GROUP BY 1 ORDER BY 1
+"""

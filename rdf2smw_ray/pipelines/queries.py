@@ -20,7 +20,12 @@ from rdf2smw_ray.util import table_from_pandas
 import pyarrow.parquet as pq
 
 from rdf2smw_ray.pipelines import relational, windows
-from rdf2smw_ray.pipelines.ann import ann_brute_topk, ann_lsh_topk, embedding_near_dup
+from rdf2smw_ray.pipelines.ann import (
+    LABEL_CENTROID_NORM_SQL,
+    ann_brute_topk,
+    ann_lsh_topk,
+    embedding_near_dup,
+)
 from rdf2smw_ray.pipelines.dedup import exact_dedup, minhash_dedup, simhashes
 from rdf2smw_ray.pipelines.textstats import (
     STOPWORDS,
@@ -936,6 +941,38 @@ NORMALIZE_SQL = r"""
 SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
 FROM documents ORDER BY doc_id
 """
+
+
+def q_stratified_sample(sf_dir: str):
+    """Fixed-k deterministic sample per source stratum (k smallest
+    md5(doc_id) per source) — the reservoir-per-group shape."""
+    from rdf2smw_ray.pipelines.textstats import stratified_sample_k
+
+    out = stratified_sample_k(
+        _docs(sf_dir, columns=["doc_id", "source"]), k=5
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5 ORDER BY source, doc_id
+"""
+
+
+def q_label_centroid_norm(sf_dir: str):
+    """Per-label embedding centroid L2 norm — the vector-column
+    aggregate (per-(label, dim) partial sums, norm on the centroid
+    table)."""
+    from rdf2smw_ray.pipelines.ann import label_centroid_norm
+
+    return label_centroid_norm(_emb(sf_dir))
 
 
 def q_sample_docs(sf_dir: str):
@@ -2012,6 +2049,9 @@ def all_queries():
         "normalize_text": q_normalize_text,
         "docs_per_source": q_docs_per_source,
         "sample_docs": q_sample_docs,
+        "stratified_sample": q_stratified_sample,
+        "value_hour_corr": relational.value_hour_corr,
+        "label_centroid_norm": q_label_centroid_norm,
         "top_bigrams": q_top_bigrams,
         "token_doc_freq": q_token_doc_freq,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2134,6 +2174,9 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "normalize_text": NORMALIZE_SQL,
         "docs_per_source": DOCS_PER_SOURCE_SQL,
         "sample_docs": SAMPLE_DOCS_SQL,
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "value_hour_corr": relational.VALUE_HOUR_CORR_SQL,
+        "label_centroid_norm": LABEL_CENTROID_NORM_SQL,
         "top_bigrams": TOP_BIGRAMS_SQL,
         "token_doc_freq": TOKEN_DOC_FREQ_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,

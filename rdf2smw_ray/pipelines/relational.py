@@ -863,3 +863,68 @@ SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS BIGINT) A
        CAST(COUNT(*) AS BIGINT) AS n
 FROM orders, mm GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# One-pass Pearson correlation per group (value vs hour-of-day): the
+# five running sums are a per-batch combiner + tiny final groupby; the
+# closed-form corr is evaluated on the handful of group rows.  The SQL
+# oracle states the identical formula (CORR() would use a different
+# accumulation), so ROUND(,6) agrees.
+# ---------------------------------------------------------------------------
+def value_hour_corr(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = (
+            (df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+             // 3_600_000_000) % 24
+        ).astype(np.float64)
+        y = df["value"].to_numpy(dtype=np.float64)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "x": x, "y": y, "xy": x * y, "xx": x * x, "yy": y * y,
+                }
+            )
+            .groupby("event_type", sort=False)
+            .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                 sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    s = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+        )
+        .to_pandas()
+    )
+    n = s["n"].astype("float64")
+    corr = (n * s["sxy"] - s["sx"] * s["sy"]) / np.sqrt(
+        (n * s["sxx"] - s["sx"] * s["sx"]) * (n * s["syy"] - s["sy"] * s["sy"])
+    )
+    out = pd.DataFrame({"event_type": s["event_type"], "corr": corr.round(6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+VALUE_HOUR_CORR_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x, value AS y
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM b GROUP BY 1
+)
+SELECT event_type,
+       ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr
+FROM s ORDER BY 1
+"""

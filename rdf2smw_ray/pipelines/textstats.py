@@ -836,3 +836,44 @@ def pmi_top_bigrams(docs, *, k: int = 20, min_count: int = 5):
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def stratified_sample_k(docs, *, k: int = 5):
+    """Deterministic stratified sample: the k docs with the smallest
+    ``md5(str(doc_id))`` per source — reservoir-style fixed-k-per-group
+    sampling with a rerun-stable, engine-independent order (the same
+    md5 gate family as deterministic_sample). Combiner-first: each
+    batch keeps its local k per source, so at most k × n_blocks rows
+    per stratum reach the final per-group reduce. Strata here are the
+    low-cardinality ``source`` column; for high-cardinality strata
+    bucket the final reduce like stages/reduce.keyed_first."""
+    import hashlib
+
+    def _keep_k(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(k)
+        )
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select(["source", "doc_id"]).to_pandas()
+        df["h"] = df["doc_id"].map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest()
+        )
+        return table_from_pandas(_keep_k(df), preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        out = _keep_k(df)[["source", "doc_id"]]
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(local, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
