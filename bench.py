@@ -246,6 +246,12 @@ def run_queries(num_cpus: int) -> dict:
         "line_dedup",
         "bm25_topk",
         "funnel_steps",
+        # round-3 batch 2
+        "cust_urgent_low_outer",
+        "rollup_pricing",
+        "event_type_pivot",
+        "cohort_retention",
+        "kg_triangles",
     ]
     q = all_queries()
     times = {}

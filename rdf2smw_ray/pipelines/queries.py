@@ -2037,6 +2037,7 @@ def all_queries():
         "median_value_per_user_bucket": relational.median_value_per_user_bucket,
         "orders_price_tiers": relational.orders_price_tiers,
         "cust_urgent_low_outer": relational.cust_urgent_low_outer,
+        "shipping_priority": relational.shipping_priority,
         "rollup_pricing": relational.rollup_pricing,
         "event_type_pivot": relational.event_type_pivot,
         "mode_event_type": relational.mode_event_type,
@@ -2212,6 +2213,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "median_value_per_user_bucket": relational.MEDIAN_USER_BUCKET_SQL,
         "orders_price_tiers": relational.PRICE_TIERS_SQL,
         "cust_urgent_low_outer": relational.CUST_URGENT_LOW_OUTER_SQL,
+        "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
         "rollup_pricing": relational.ROLLUP_PRICING_SQL,
         "event_type_pivot": relational.EVENT_TYPE_PIVOT_SQL,
         "mode_event_type": relational.MODE_EVENT_TYPE_SQL,

@@ -928,3 +928,115 @@ SELECT event_type,
        ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr
 FROM s ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority: 3-table join chain with pushed-down
+# filters.  customer is reduced to matching KEYS before it moves (semi
+# join), lineitem revenue is pre-aggregated per order inside each batch
+# (combiner) before the one fact-to-fact co-shuffle, and the top-k is
+# per-batch local + tiny merge — the full multi-join pipeline shape.
+# ---------------------------------------------------------------------------
+def shipping_priority(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-01-01", k: int = 10
+) -> pd.DataFrame:
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    cut = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.filter(pc.equal(t["c_mktsegment"], segment))[
+                    "c_custkey"
+                ].cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cut)), batch_format="pyarrow"
+    )
+    orders_sel = bucketed_join(
+        orders, cust, key="o_custkey", right_key="c_custkey", how="semi"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["l_shipdate"], cut))
+        df = t.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["rev"].sum()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g.index.to_numpy(), pa.int64()),
+                "rev": pa.array(g.to_numpy(), pa.float64()),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    joined = bucketed_join(
+        li,
+        orders_sel,
+        key="l_orderkey",
+        right_key="o_orderkey",
+        how="inner",
+        right_cols={"o_orderdate": "o_orderdate", "o_orderpriority": "o_orderpriority"},
+    )
+    per_order = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    ).aggregate(Sum("rev", alias_name="rev"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["rev"].round(2)
+        df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
+        return table_from_pandas(df.drop(columns=["rev"]), preserve_index=False)
+
+    out = (
+        per_order.map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(k)
+        .rename(columns={"l_orderkey": "o_orderkey"})
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(
+        drop=True
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+  SELECT l_orderkey AS o_orderkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o_orderpriority
+  FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+) ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
