@@ -2040,6 +2040,7 @@ def all_queries():
         "shipping_priority": relational.shipping_priority,
         "rollup_pricing": relational.rollup_pricing,
         "event_type_pivot": relational.event_type_pivot,
+        "event_counts_long": relational.event_counts_long,
         "mode_event_type": relational.mode_event_type,
         "price_histogram": relational.price_histogram,
         # text analysis
@@ -2216,6 +2217,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
         "rollup_pricing": relational.ROLLUP_PRICING_SQL,
         "event_type_pivot": relational.EVENT_TYPE_PIVOT_SQL,
+        "event_counts_long": relational.EVENT_COUNTS_LONG_SQL,
         "mode_event_type": relational.MODE_EVENT_TYPE_SQL,
         "price_histogram": relational.PRICE_HISTOGRAM_SQL,
         "sessionize": windows.SESSIONIZE_SQL,

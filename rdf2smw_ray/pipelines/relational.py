@@ -722,7 +722,9 @@ ORDER BY 1, 2
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-def event_type_pivot(sf_dir: str) -> pd.DataFrame:
+def _pivot_wide(sf_dir: str):
+    """Per-user wide count Dataset (user_id, n_click, ..., n_view) —
+    shared by the pivot and the unpivot queries."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
@@ -743,14 +745,60 @@ def event_type_pivot(sf_dir: str) -> pd.DataFrame:
             arrays[c] = pa.array(wide[t].to_numpy(), pa.int64())
         return pa.table(arrays)
 
-    out = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
-        .to_pandas()
     )
+
+
+def event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+    out = _pivot_wide(sf_dir).to_pandas()
     out = out.astype({c: "int64" for c in ["user_id", *cols]})
     return out[["user_id", *cols]].sort_values("user_id").reset_index(drop=True)
+
+
+def event_counts_long(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt: the wide per-user count table back to long
+    (user_id, event_type, n) INCLUDING explicit zero rows — the
+    wide-to-long inverse of event_type_pivot, as a vectorized per-batch
+    melt over the same aggregated Dataset. The oracle states it as
+    users × types CROSS JOIN with zero-fill."""
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def melt(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df.melt(
+            id_vars=["user_id"], value_vars=cols,
+            var_name="event_type", value_name="n",
+        )
+        m["event_type"] = m["event_type"].str[2:]
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"].to_numpy().astype(np.int64), pa.int64()),
+                "event_type": pa.array(m["event_type"], pa.string()),
+                "n": pa.array(m["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _pivot_wide(sf_dir)
+        .map_batches(melt, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+EVENT_COUNTS_LONG_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+ORDER BY 1, 2
+"""
 
 
 EVENT_TYPE_PIVOT_SQL = """
