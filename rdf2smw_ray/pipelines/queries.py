@@ -2035,6 +2035,7 @@ def all_queries():
         "top_orders_per_nation": relational.top_orders_per_nation,
         "median_value_per_event_type": relational.median_value_per_event_type,
         "median_value_per_user_bucket": relational.median_value_per_user_bucket,
+        "value_p90_per_event_type": relational.value_p90_per_event_type,
         "orders_price_tiers": relational.orders_price_tiers,
         "cust_urgent_low_outer": relational.cust_urgent_low_outer,
         "shipping_priority": relational.shipping_priority,
@@ -2212,6 +2213,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
         "median_value_per_event_type": relational.MEDIAN_SQL,
         "median_value_per_user_bucket": relational.MEDIAN_USER_BUCKET_SQL,
+        "value_p90_per_event_type": relational.VALUE_P90_SQL,
         "orders_price_tiers": relational.PRICE_TIERS_SQL,
         "cust_urgent_low_outer": relational.CUST_URGENT_LOW_OUTER_SQL,
         "shipping_priority": relational.SHIPPING_PRIORITY_SQL,

@@ -1088,3 +1088,34 @@ SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
   GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ) ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed PERCENTILE_DISC(0.9) per event_type — the
+# generalized histogram-refinement order statistic (no whole-group
+# task; exact_threshold forces the refinement rounds at test scale).
+# The oracle states the identical integer rank ceil(9n/10) explicitly
+# instead of PERCENTILE_DISC so both engines target the same row.
+# ---------------------------------------------------------------------------
+def value_p90_per_event_type(sf_dir: str) -> pd.DataFrame:
+    from rdf2smw_ray.pipelines.sketches import exact_percentile_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = exact_percentile_per_key(
+        ds, "event_type", "value", num=9, den=10, out_col="p90",
+        exact_threshold=120,
+    )
+    out["p90"] = out["p90"].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+VALUE_P90_SQL = """
+WITH o AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, ROUND(value, 6) AS p90
+FROM o WHERE rk = (9 * n + 9) // 10 ORDER BY 1
+"""

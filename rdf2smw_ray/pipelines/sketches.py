@@ -209,11 +209,18 @@ def exact_median_per_key(
     num_bins: int = 1024,
     exact_threshold: int = 100_000,
     max_rounds: int = 8,
+    ranks_fn=None,
+    out_col: str = "median",
 ):
     """Exact per-key median of ``column``; returns a pandas DataFrame
     (key, median) sorted by key. Even counts average the two middle
     order statistics; NaN/null values are ignored (SQL MEDIAN
-    semantics)."""
+    semantics).
+
+    ``ranks_fn(n) -> (r1, r2)`` overrides the two 1-based target order
+    statistics (defaults to the median pair); the result column is the
+    average of the two — pass r1 == r2 for a single exact order
+    statistic (PERCENTILE_DISC). ``out_col`` names the result."""
     import pandas as pd
     import ray
 
@@ -243,7 +250,7 @@ def exact_median_per_key(
         .to_pandas()
     )
     if stats.empty:
-        return pd.DataFrame({key: pd.Series([], dtype=object), "median": []})
+        return pd.DataFrame({key: pd.Series([], dtype=object), out_col: []})
 
     # per-key refinement state: value range [lo, hi] (inclusive, actual
     # data values), base = #values strictly below the range, the two
@@ -253,7 +260,7 @@ def exact_median_per_key(
     for _, r in stats.iterrows():
         n = int(r["cnt"])
         lo, hi = float(r["mn"]), float(r["mx"])
-        r1, r2 = (n + 1) // 2, (n + 2) // 2
+        r1, r2 = ranks_fn(n) if ranks_fn else ((n + 1) // 2, (n + 2) // 2)
         if lo == hi:
             done[r[key]] = lo
         else:
@@ -367,7 +374,7 @@ def exact_median_per_key(
             base, r1, r2 = t[kval]
             v = np.sort(df[column].to_numpy(dtype=np.float64))
             med = (v[r1 - base - 1] + v[r2 - base - 1]) / 2.0
-            return pa.table({key: [kval], "median": [float(med)]})
+            return pa.table({key: [kval], out_col: [float(med)]})
 
         finals = (
             proj.map_batches(in_range, batch_format="pyarrow")
@@ -376,10 +383,31 @@ def exact_median_per_key(
             .to_pandas()
         )
     else:
-        finals = pd.DataFrame({key: [], "median": []})
+        finals = pd.DataFrame({key: [], out_col: []})
 
     done_df = pd.DataFrame(
-        {key: list(done.keys()), "median": [float(x) for x in done.values()]}
+        {key: list(done.keys()), out_col: [float(x) for x in done.values()]}
     )
     out = pd.concat([finals, done_df], ignore_index=True)
     return out.sort_values(key).reset_index(drop=True)
+
+
+def exact_percentile_per_key(
+    ds, key: str, column: str, *, num: int, den: int, out_col: str, **kw
+):
+    """Exact PERCENTILE_DISC(num/den) per key — the single order
+    statistic at 1-based rank ceil(num·n/den), computed in integer
+    arithmetic so both engines target the identical rank (a float
+    q·n can round differently at integer boundaries). Same
+    histogram-refinement machinery as the exact median: no task ever
+    holds a whole group."""
+    if not (0 < num <= den):
+        raise ValueError("percentile num/den must be in (0, 1]")
+
+    def ranks(n: int):
+        r = (num * n + den - 1) // den
+        return (r, r)
+
+    return exact_median_per_key(
+        ds, key, column, ranks_fn=ranks, out_col=out_col, **kw
+    )

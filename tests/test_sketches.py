@@ -124,3 +124,32 @@ def test_exact_median_ignores_nans():
     got = exact_median_per_key(ds, "k", "v", num_bins=4, exact_threshold=2)
     want = df.groupby("k")["v"].median().rename("median").reset_index()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_exact_percentile_disc_matches_numpy(ray_session):
+    """PERCENTILE_DISC generalization: rank ceil(q·n) order statistic,
+    exact on random data with heavy ties, refinement path forced."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import exact_percentile_per_key
+
+    rng = np.random.RandomState(42)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 7, 5000),
+            # ties on purpose: values quantized to one decimal
+            "v": np.round(rng.exponential(10, 5000), 1),
+        }
+    )
+    got = exact_percentile_per_key(
+        rd.from_pandas(df), "k", "v", num=9, den=10, out_col="p90",
+        exact_threshold=50, num_bins=16,
+    )
+    want = {
+        k: np.sort(g["v"].to_numpy())[(9 * len(g) + 9) // 10 - 1]
+        for k, g in df.groupby("k")
+    }
+    got_map = dict(zip(got["k"], got["p90"]))
+    assert got_map == want
