@@ -19,7 +19,7 @@ import pyarrow as pa
 from rdf2smw_ray.util import table_from_pandas
 import pyarrow.parquet as pq
 
-from rdf2smw_ray.pipelines import relational, windows
+from rdf2smw_ray.pipelines import packing, relational, windows
 from rdf2smw_ray.pipelines.ann import (
     LABEL_CENTROID_NORM_SQL,
     ann_brute_topk,
@@ -973,6 +973,24 @@ def q_label_centroid_norm(sf_dir: str):
     from rdf2smw_ray.pipelines.ann import label_centroid_norm
 
     return label_centroid_norm(_emb(sf_dir))
+
+
+def q_token_chunks(sf_dir: str):
+    """Fixed-window token chunking (context packing front half)."""
+    from rdf2smw_ray.pipelines.packing import token_chunks
+
+    out = token_chunks(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def q_sequence_packing(sf_dir: str):
+    """Linear sequence packing by cumulative token count — the
+    distributed prefix scan."""
+    from rdf2smw_ray.pipelines.packing import sequence_packing
+
+    out = sequence_packing(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    out = out.astype({"doc_id": "int64", "seq_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_sample_docs(sf_dir: str):
@@ -2053,6 +2071,8 @@ def all_queries():
         "docs_per_source": q_docs_per_source,
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
+        "token_chunks": q_token_chunks,
+        "sequence_packing": q_sequence_packing,
         "value_hour_corr": relational.value_hour_corr,
         "label_centroid_norm": q_label_centroid_norm,
         "top_bigrams": q_top_bigrams,
@@ -2178,6 +2198,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "docs_per_source": DOCS_PER_SOURCE_SQL,
         "sample_docs": SAMPLE_DOCS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "token_chunks": packing.TOKEN_CHUNKS_SQL,
+        "sequence_packing": packing.SEQUENCE_PACKING_SQL,
         "value_hour_corr": relational.VALUE_HOUR_CORR_SQL,
         "label_centroid_norm": LABEL_CENTROID_NORM_SQL,
         "top_bigrams": TOP_BIGRAMS_SQL,
