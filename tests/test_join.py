@@ -110,6 +110,91 @@ def test_anti_join_empty_result():
     assert len(got) == 0
 
 
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+@pytest.mark.parametrize("mult", ["lookup", "all"])
+def test_broadcast_path_equals_shuffle_path(how, mult):
+    """The size-gated broadcast strategy must be value-identical to the
+    bucket co-shuffle for every mode it serves — including duplicated
+    right keys (identical payload rows, so `lookup`'s arbitrary pick is
+    value-deterministic) and the hot key 0."""
+    left, right = _mk()
+    right_dup = pd.concat([right, right.head(40)], ignore_index=True)
+    kw = dict(multiplicity=mult)
+    if how in ("inner", "left"):
+        kw["right_cols"] = {"rv": "rv"}
+        cols = ["k", "lv", "rv"]
+    else:
+        cols = ["k", "lv"]
+    a = _run(left, right_dup, how, broadcast="force", **kw)
+    b = _run(left, right_dup, how, broadcast="never", **kw)
+    pd.testing.assert_frame_equal(_sorted(a, cols), _sorted(b, cols))
+
+
+def test_broadcast_mixed_int_key_widths():
+    """int32 right key vs int64 left key (incl. negative values — the
+    dtype-width hashing hazard from round-2 ADVICE) must match by value
+    on the broadcast path."""
+    left = pd.DataFrame(
+        {"k": np.array([-5, -5, 3, 7, 9], dtype=np.int64), "lv": np.arange(5)}
+    )
+    right = pd.DataFrame(
+        {"rk": np.array([-5, 3, 8], dtype=np.int32), "rv": [10, 20, 30]}
+    )
+    got = _run(left, right, "inner", right_cols={"rv": "rv"}, broadcast="force")
+    want = left.merge(
+        right.assign(k=right["rk"].astype(np.int64)).drop(columns=["rk"]), on="k"
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"])
+    )
+
+
+def test_broadcast_threshold_fallback(monkeypatch):
+    """A 1-byte threshold sends `auto` down the fall-through branch —
+    the co-shuffle of the already-reduced right side — which must be
+    value-identical to both the broadcast and the plain shuffle."""
+    monkeypatch.setenv("GRAFT_BROADCAST_JOIN_BYTES", "1")
+    left, right = _mk()
+    got = _run(left, right, "left", right_cols={"rv": "rv"}, broadcast="auto")
+    monkeypatch.delenv("GRAFT_BROADCAST_JOIN_BYTES")
+    want = _run(left, right, "left", right_cols={"rv": "rv"}, broadcast="never")
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
+
+
+def test_broadcast_with_overreported_left_schema(ray_session):
+    """Ray 2.49 quirk: .schema() of a select_columns projection over a
+    materialized map_batches output reports the UNPROJECTED upstream
+    schema. Both join strategies must tolerate it by null-padding the
+    phantom column (this is the BFS frontier lineage that broke the
+    first broadcast cut)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    base = rd.from_items(
+        [{"node": "a", "dist": 1}, {"node": "b", "dist": 2}]
+    ).materialize()
+    frontier = base.map_batches(
+        lambda t: t.filter(pc.greater(t["dist"], 0)), batch_format="pyarrow"
+    ).materialize()
+    left = frontier.select_columns(["node"])
+    right = rd.from_pandas(pd.DataFrame({"u": ["a", "b"], "v": ["x", "y"]}))
+    outs = {}
+    for mode in ("force", "never"):
+        out = bucketed_join(
+            left,
+            right,
+            key="node",
+            right_key="u",
+            right_cols={"v": "nbr"},
+            multiplicity="all",
+            broadcast=mode,
+        ).to_pandas()
+        outs[mode] = out.sort_values("node").reset_index(drop=True)
+    assert list(outs["force"]["nbr"]) == ["x", "y"]
+    pd.testing.assert_frame_equal(outs["force"], outs["never"])
+
+
 def test_auto_buckets_grows_with_input_and_floors_at_cpus():
     floor = auto_buckets(0)
     assert floor >= 1
