@@ -252,6 +252,7 @@ def run_queries(num_cpus: int) -> dict:
         "event_type_pivot",
         "cohort_retention",
         "kg_triangles",
+        "global_click_pressure",
     ]
     q = all_queries()
     times = {}

@@ -2114,6 +2114,7 @@ def all_queries():
         "sessionize": windows.sessionize,
         "asof_click_before_purchase": windows.asof_click_before_purchase,
         "clicks_before_purchase_window": windows.clicks_before_purchase_window,
+        "global_click_pressure": windows.global_click_pressure,
         "funnel_steps": windows.funnel_steps,
         "hopping_window_counts": windows.hopping_window_counts,
         "inter_event_gap_stats": windows.inter_event_gap_stats,
@@ -2247,6 +2248,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,
+        "global_click_pressure": windows.GLOBAL_CLICK_PRESSURE_SQL,
         "funnel_steps": windows.FUNNEL_SQL,
         "hopping_window_counts": windows.HOPPING_WINDOW_SQL,
         "inter_event_gap_stats": windows.INTER_EVENT_GAP_SQL,

@@ -233,6 +233,122 @@ def clicks_before_purchase_window(sf_dir: str, window_minutes: int = 60) -> pd.D
     return out.sort_values(["user_id", "purchase_id"]).reset_index(drop=True)
 
 
+def _global_interval_count(ev, *, window_us: np.int64, num_buckets: int):
+    """Core of the big-big time-interval join (no user/equi key):
+    count, for every ``purchase`` row, the ``click`` rows of ANY user
+    with ``ts`` in ``(purchase.ts - window, purchase.ts]``.
+
+    Temporal bucketing + probe replication: time is cut into buckets
+    exactly one window wide, so every click belongs to ONE bucket and
+    every probe's window overlaps at most TWO. Clicks move once,
+    probes at most twice, matches are counted inside each bucket with
+    one pair of ``searchsorted`` calls over a composite
+    ``bucket * (window+1) + rel`` key (buckets are processed many per
+    coarse shuffle group — never a per-fine-bucket task), and a final
+    keyed sum adds the per-bucket partials. No task ever holds either
+    full stream; a flash-crowd bucket is bounded by one window span of
+    events (salt the bucket id and replicate probes per salt if that
+    bound is ever too wide).
+    """
+    from ray.data.aggregate import Sum
+
+    window_us = np.int64(window_us)
+    span = window_us + 1  # rel < window_us, so keys of adjacent buckets never collide
+
+    def shard(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        kind = df["event_type"].to_numpy()
+        is_c = kind == "click"
+        is_p = kind == "purchase"
+        cb = ts[is_c] // window_us
+        pt = ts[is_p]
+        pid = df["event_id"].to_numpy()[is_p]
+        b_hi = pt // window_us
+        b_lo = (pt - window_us + 1) // window_us  # bucket of the oldest matching ts
+        need2 = b_hi != b_lo
+        bkt = np.concatenate([cb, b_lo, b_hi[need2]])
+        assert bkt.size == 0 or int(bkt.max()) < (2**63 - 1) // int(span)
+        tsv = np.concatenate([ts[is_c], pt, pt[need2]])
+        eid = np.concatenate([np.full(int(is_c.sum()), -1, np.int64), pid, pid[need2]])
+        side = np.concatenate(
+            [
+                np.zeros(int(is_c.sum()), np.int8),
+                np.ones(len(pt) + int(need2.sum()), np.int8),
+            ]
+        )
+        return pa.table(
+            {
+                "__cb": pa.array((bkt % num_buckets).astype(np.int32), pa.int32()),
+                "bkt": pa.array(bkt, pa.int64()),
+                "tsv": pa.array(tsv, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+            }
+        )
+
+    out_schema_cols = {"event_id": pa.int64(), "n": pa.int64()}
+
+    def per_coarse(df: pd.DataFrame) -> pa.Table:
+        c = df[df["side"] == 0]
+        p = df[df["side"] == 1]
+        if p.empty:
+            return pa.table({k: pa.array([], t) for k, t in out_schema_cols.items()})
+        cbkt = c["bkt"].to_numpy(dtype=np.int64)
+        ckey = np.sort(cbkt * span + (c["tsv"].to_numpy(dtype=np.int64) - cbkt * window_us))
+        pbkt = p["bkt"].to_numpy(dtype=np.int64)
+        pts = p["tsv"].to_numpy(dtype=np.int64)
+        rel_hi = np.minimum(pts - pbkt * window_us, window_us - 1)  # clip to bucket end
+        lo_excl = np.maximum(pts - window_us - pbkt * window_us, -1)  # clip below bucket
+        n = np.searchsorted(ckey, pbkt * span + rel_hi, side="right") - np.searchsorted(
+            ckey, pbkt * span + lo_excl, side="right"
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(p["event_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(shard, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(per_coarse, batch_format="pandas")
+        .groupby("event_id")
+        .aggregate(Sum("n", alias_name="n_clicks"))
+    )
+
+
+def global_click_pressure(sf_dir: str, window_minutes: int = 5) -> pd.DataFrame:
+    """For every purchase, the number of clicks by ANY user in the
+    trailing ``(ts - window, ts]`` interval — a pure range-predicate
+    join between two corpus-sized streams (contrast the per-user
+    windowed aggregate above, which has an equi-key to partition on).
+    See ``_global_interval_count`` for the distributed shape."""
+    from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "event_type"])
+    out = _global_interval_count(
+        ev,
+        window_us=np.int64(window_minutes) * 60 * 1_000_000,
+        num_buckets=auto_buckets(dataset_est_bytes(ev)),
+    ).to_pandas()
+    out = out.rename(columns={"event_id": "purchase_id"})
+    out["purchase_id"] = out["purchase_id"].astype("int64")
+    out["n_clicks"] = out["n_clicks"].astype("int64")
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+GLOBAL_CLICK_PRESSURE_SQL = """
+SELECT p.event_id AS purchase_id,
+       CAST((SELECT COUNT(*) FROM events c
+             WHERE c.event_type = 'click'
+               AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 5 MINUTE) AS BIGINT) AS n_clicks
+FROM events p WHERE p.event_type = 'purchase'
+ORDER BY 1
+"""
+
+
 WINDOW_COUNT_SQL = """
 SELECT p.user_id, p.event_id AS purchase_id,
        CAST((SELECT COUNT(*) FROM events c

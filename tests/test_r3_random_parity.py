@@ -7,6 +7,7 @@ import random
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -122,3 +123,50 @@ def test_decontaminate_random_parity(ray_session):
         }
         assert out["doc_id"].tolist() == sorted(exp)
         assert out["n_hits"].tolist() == [exp[i] for i in sorted(exp)]
+
+
+def test_global_interval_count_random_parity(ray_session):
+    """Big-big time-interval join (temporal bucketing + probe
+    replication) vs a single-array brute force, including exact
+    boundary hits at t and t-w and a probe window spanning two
+    buckets."""
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.windows import _global_interval_count
+
+    W = np.int64(7 * 60 * 1_000_000)
+    base = pd.Timestamp("2025-06-01").value // 1000
+    for seed in (5, 23):
+        rng = np.random.RandomState(seed)
+        n = 2500
+        ts_us = base + rng.randint(0, 2_000_000_000, n).astype(np.int64)
+        kinds = rng.choice(["click", "purchase", "view"], n, p=[0.5, 0.3, 0.2])
+        # force boundary cases: a click exactly AT a purchase ts
+        # (inclusive) and exactly at ts - W (exclusive)
+        kinds[0] = "purchase"
+        kinds[1] = "click"
+        ts_us[1] = ts_us[0]
+        kinds[2] = "click"
+        ts_us[2] = ts_us[0] - int(W)
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pd.to_datetime(ts_us * 1000),
+                "event_type": kinds,
+            }
+        )
+        out = (
+            _global_interval_count(rd.from_pandas(ev), window_us=W, num_buckets=13)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        t = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        cts = np.sort(t[kinds == "click"])
+        isp = kinds == "purchase"
+        brute = np.searchsorted(cts, t[isp], side="right") - np.searchsorted(
+            cts, t[isp] - W, side="right"
+        )
+        assert out["event_id"].tolist() == sorted(ev["event_id"].to_numpy()[isp])
+        order = np.argsort(ev["event_id"].to_numpy()[isp], kind="stable")
+        assert (out["n_clicks"].to_numpy() == brute[order]).all()
