@@ -619,6 +619,82 @@ def lsh_jaccard_pairs(docs, *, threshold=0.8, num_perm=64, bands=16, k=5, concur
     )
 
 
+def cross_corpus_near_dup(
+    docs,
+    *,
+    is_new,
+    threshold=0.8,
+    num_perm=64,
+    bands=16,
+    k=5,
+    concurrency=4,
+):
+    """Incremental ingestion dedup: verified near-dup pairs between an
+    EXISTING corpus and a batch of INCOMING docs — the production shape
+    where yesterday's corpus is already deduped and only new×base
+    matches matter. ``is_new(ids: np.ndarray) -> bool ndarray`` splits
+    the union stream by doc_id.
+
+    Scale shape: one MinHash/banding pass over the union (the base
+    side's signatures would be precomputed+stored in a real run);
+    in-bucket pair generation emits ONLY cross-side pairs (new×new and
+    base×base candidates never exist, so the candidate set is bounded
+    by the incoming batch, not the corpus); exact-Jaccard verification
+    rides the same distributed co-shuffle as :func:`lsh_jaccard_pairs`.
+    Returns (base_id, new_id) rows."""
+
+    def long_enough(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        return batch.filter(pa.array((texts.str.count(r"\S+") >= k).to_numpy()))
+
+    eligible = docs.map_batches(long_enough, batch_format="pyarrow")
+    rows = _band_rows(eligible, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency)
+
+    def coarse_cross_pairs(df: pd.DataFrame) -> pa.Table:
+        bid = df["band_id"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        new_bucket = np.concatenate(
+            ([True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1]))
+        )
+        dup_doc = np.concatenate(([False], ids[1:] == ids[:-1])) & ~new_bucket
+        keep = ~dup_doc
+        ids, new_bucket = ids[keep], new_bucket[keep]
+        side = np.asarray(is_new(ids), dtype=bool)
+        starts = np.flatnonzero(new_bucket)
+        counts = np.diff(np.append(starts, len(ids)))
+        out_base, out_new = [], []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            seg, sd = ids[s : s + c], side[s : s + c]
+            b_ids, n_ids = seg[~sd], seg[sd]
+            if len(b_ids) and len(n_ids):
+                out_base.append(np.repeat(b_ids, len(n_ids)))
+                out_new.append(np.tile(n_ids, len(b_ids)))
+        if not out_base:
+            return pa.table(
+                {"base_id": pa.array([], pa.int64()), "new_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "base_id": pa.array(np.concatenate(out_base), pa.int64()),
+                "new_id": pa.array(np.concatenate(out_new), pa.int64()),
+            }
+        )
+
+    pairs = (
+        rows.groupby("__cb")
+        .map_groups(coarse_cross_pairs, batch_format="pandas")
+        .groupby(["base_id", "new_id"])
+        .count()
+        .select_columns(["base_id", "new_id"])
+    )
+    return _verify_jaccard_edges(
+        pairs, eligible, a_col="base_id", b_col="new_id", threshold=threshold, k=k
+    )
+
+
 def _jaccard_sets(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -1794,6 +1794,45 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_incremental_near_dup(sf_dir: str):
+    """Incremental ingestion dedup: even doc_ids play the existing
+    corpus, odd doc_ids the incoming batch; verified cross-side pairs
+    must equal the exact cross-pairs 5-shingle Jaccard ≥ 0.8 set."""
+    from rdf2smw_ray.pipelines.dedup import cross_corpus_near_dup
+
+    out = cross_corpus_near_dup(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        is_new=lambda ids: (np.asarray(ids, dtype=np.int64) % 2) == 1,
+        threshold=0.8,
+        concurrency=2,
+    ).to_pandas()
+    if "base_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "base_id": pd.Series([], dtype="int64"),
+                "new_id": pd.Series([], dtype="int64"),
+            }
+        )
+    out["base_id"] = out["base_id"].astype("int64")
+    out["new_id"] = out["new_id"].astype("int64")
+    return out.sort_values(["base_id", "new_id"]).reset_index(drop=True)
+
+
+INCREMENTAL_NEAR_DUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN generate_series(1, len(w)-4)]) AS s
+  FROM toks WHERE len(w) >= 5
+)
+SELECT a.doc_id AS base_id, b.doc_id AS new_id
+FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+ORDER BY base_id, new_id
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup cluster assignment (LSH pairs → distributed connected
     components) vs an exact recursive-CTE reachability oracle."""
@@ -2100,6 +2139,7 @@ def all_queries():
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "incremental_near_dup": q_incremental_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "simhash": q_simhash,
@@ -2228,6 +2268,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         # value_quantiles, approx_distinct_users: approximate by design
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
+        "incremental_near_dup": INCREMENTAL_NEAR_DUP_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
         "ann_topk": ANN_TOPK_SQL,

@@ -170,3 +170,38 @@ def test_global_interval_count_random_parity(ray_session):
         assert out["event_id"].tolist() == sorted(ev["event_id"].to_numpy()[isp])
         order = np.argsort(ev["event_id"].to_numpy()[isp], kind="stable")
         assert (out["n_clicks"].to_numpy() == brute[order]).all()
+
+
+def test_cross_corpus_near_dup_cross_side_only(ray_session):
+    """Incremental dedup must emit ONLY base×new pairs: same-side
+    near-duplicates (base×base, new×new) are by-design invisible, and
+    every emitted pair meets the exact Jaccard threshold."""
+    from rdf2smw_ray.pipelines.dedup import cross_corpus_near_dup
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    far = "one two three four five six seven eight nine ten"
+    docs = pd.DataFrame(
+        {
+            # 0,2 base near-dups of each other AND of new docs 1,3; 4/5 unrelated
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [text_a, text_a, text_b, text_b, far, far + " eleven"],
+        }
+    )
+    out = (
+        cross_corpus_near_dup(
+            rd.from_pandas(docs),
+            is_new=lambda ids: (np.asarray(ids, dtype=np.int64) % 2) == 1,
+            threshold=0.8,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["base_id", "new_id"])
+        .reset_index(drop=True)
+    )
+    assert (out["base_id"] % 2 == 0).all() and (out["new_id"] % 2 == 1).all()
+    # exact expectation: identical texts have J=1.0; (4,5) shares 6 of 7
+    # shingles (0.857 ≥ 0.8); cross pairs of text_a vs text_b like (0,3)
+    # share 5 of 7 (0.714 < 0.8) and must be absent
+    got = set(zip(out["base_id"], out["new_id"]))
+    assert got == {(0, 1), (2, 3), (4, 5)}
