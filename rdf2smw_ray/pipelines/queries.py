@@ -2096,6 +2096,7 @@ def all_queries():
         "orders_price_tiers": relational.orders_price_tiers,
         "cust_urgent_low_outer": relational.cust_urgent_low_outer,
         "shipping_priority": relational.shipping_priority,
+        "pareto_orders": relational.pareto_orders,
         "rollup_pricing": relational.rollup_pricing,
         "event_type_pivot": relational.event_type_pivot,
         "event_counts_long": relational.event_counts_long,
@@ -2281,6 +2282,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "orders_price_tiers": relational.PRICE_TIERS_SQL,
         "cust_urgent_low_outer": relational.CUST_URGENT_LOW_OUTER_SQL,
         "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
+        "pareto_orders": relational.PARETO_ORDERS_SQL,
         "rollup_pricing": relational.ROLLUP_PRICING_SQL,
         "event_type_pivot": relational.EVENT_TYPE_PIVOT_SQL,
         "event_counts_long": relational.EVENT_COUNTS_LONG_SQL,

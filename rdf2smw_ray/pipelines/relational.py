@@ -1119,3 +1119,129 @@ WITH o AS (
 SELECT event_type, ROUND(value, 6) AS p90
 FROM o WHERE rk = (9 * n + 9) // 10 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline): orders maximizing o_totalprice while
+# minimizing o_orderdate. No candidate funnel and no global sort — the
+# same distributed-scan shape as packing.sequence_packing: range-bucket
+# by price (equal prices can never split across buckets), per-bucket
+# MIN(date) partials, one O(num_buckets) driver exclusive prefix-min in
+# descending-price order, then a vectorized per-bucket keep pass with
+# the cross-bucket carry. Dominance: q beats p iff q.price >= p.price,
+# q.date <= p.date, one strict; exact duplicates both survive.
+# ---------------------------------------------------------------------------
+def pareto_orders(sf_dir: str) -> pd.DataFrame:
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+    nb = auto_buckets(dataset_est_bytes(orders))
+    rng = orders.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    pmin, pmax = float(rng["min(o_totalprice)"]), float(rng["max(o_totalprice)"])
+    width = max((pmax - pmin) / nb, 1e-9)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        date_i = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        # descending: bucket 0 holds the highest prices; value-based, so
+        # equal prices always share a bucket and cross-bucket price
+        # comparisons are strict
+        b = np.minimum(((pmax - price) / width).astype(np.int64), nb - 1)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "price": pa.array(price.astype(np.float64), pa.float64()),
+                "date_i": pa.array(date_i, pa.int64()),
+                "__b": pa.array(b.astype(np.int32), pa.int32()),
+            }
+        )
+
+    rows = orders.map_batches(shard, batch_format="pyarrow").materialize()
+
+    # pass 1: per-bucket MIN(date) (combiner-first) → bounded driver
+    # exclusive prefix-min in ascending bucket (= descending price) order
+    mins = (
+        rows.groupby("__b")
+        .aggregate(Min("date_i", alias_name="dmin"))
+        .to_pandas()
+        .sort_values("__b")
+    )
+    carry = dict(
+        zip(
+            mins["__b"].astype(int),
+            np.concatenate(
+                ([np.iinfo(np.int64).max], np.minimum.accumulate(mins["dmin"].to_numpy())[:-1])
+            ).astype(np.int64),
+        )
+    )
+    carry_ref = ray.put(carry)
+
+    def keep_skyline(df: pd.DataFrame) -> pa.Table:
+        carry_in = ray.get(carry_ref)[int(df["__b"].iat[0])]
+        price = df["price"].to_numpy()
+        date_i = df["date_i"].to_numpy(dtype=np.int64)
+        order = np.lexsort((date_i, -price))
+        price, date_i = price[order], date_i[order]
+        keys = df["o_orderkey"].to_numpy(dtype=np.int64)[order]
+        run_start = np.concatenate(([True], price[1:] != price[:-1]))
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.append(starts, len(price)))
+        gmin = np.repeat(date_i[starts], lens)  # date asc within a run
+        run_min_excl = np.concatenate(
+            ([carry_in], np.minimum(np.minimum.accumulate(date_i[starts]), carry_in)[:-1])
+        )
+        mstrict = np.repeat(run_min_excl, lens)
+        keep = (date_i == gmin) & (date_i < mstrict)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[keep], pa.int64()),
+                "o_totalprice": pa.array(price[keep], pa.float64()),
+                "date_i": pa.array(date_i[keep], pa.int64()),
+            }
+        )
+
+    out = (
+        rows.groupby("__b")
+        .map_groups(keep_skyline, batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_orderdate"] = (
+        out["date_i"].to_numpy(dtype=np.int64).astype("datetime64[us]")
+    )
+    out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+    return (
+        out.drop(columns=["date_i"])
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)[["o_orderkey", "o_totalprice", "o_orderdate"]]
+    )
+
+
+# one row per distinct price (ROWS frame is then exact); a point is on
+# the frontier iff it carries its price-group's min date AND that date
+# beats every strictly-higher-price group's min
+PARETO_ORDERS_SQL = """
+WITH g AS (
+  SELECT o_totalprice AS price, MIN(o_orderdate) AS gmin
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT price, gmin,
+         MIN(gmin) OVER (ORDER BY price DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mstrict
+  FROM g
+)
+SELECT o.o_orderkey, o.o_totalprice,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders o JOIN r ON o.o_totalprice = r.price
+WHERE o.o_orderdate = r.gmin AND (r.mstrict IS NULL OR o.o_orderdate < r.mstrict)
+ORDER BY o.o_orderkey
+"""

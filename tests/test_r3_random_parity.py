@@ -205,3 +205,47 @@ def test_cross_corpus_near_dup_cross_side_only(ray_session):
     # share 5 of 7 (0.714 < 0.8) and must be absent
     got = set(zip(out["base_id"], out["new_id"]))
     assert got == {(0, 1), (2, 3), (4, 5)}
+
+
+def test_pareto_skyline_random_parity(ray_session, tmp_path, monkeypatch):
+    """Distributed 2-D skyline (price-range buckets + cross-bucket
+    prefix-min carry) vs an O(n²) brute force, with heavy price ties
+    and an exact duplicate pair (both must survive)."""
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.relational import pareto_orders
+
+    monkeypatch.setenv("GRAFT_NO_TABLE_CACHE", "1")
+    rng = np.random.RandomState(3)
+    n = 4000
+    price = rng.randint(0, 400, n).astype(float)
+    date = pd.to_datetime(
+        1_700_000_000_000_000
+        + rng.randint(0, 10_000, n).astype(np.int64) * 86_400_000_000
+    )
+    dv = date.values.copy()
+    price[10] = price[11]
+    dv[11] = dv[10]  # exact duplicate on both dimensions
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_totalprice": price,
+            "o_orderdate": pd.to_datetime(dv),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = pareto_orders(str(tmp_path))
+    p = df["o_totalprice"].to_numpy()
+    t = df["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    keep = [
+        i
+        for i in range(n)
+        if not ((p >= p[i]) & (t <= t[i]) & ((p > p[i]) | (t < t[i]))).any()
+    ]
+    exp = df.iloc[keep].copy()
+    exp["o_orderdate"] = exp["o_orderdate"].dt.strftime("%Y-%m-%d")
+    exp = exp.sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
