@@ -254,8 +254,21 @@ def bucketed_join(
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     # ---- size-gated broadcast path --------------------------------
+    # Pre-gate on the cheap FILE-bytes estimate: a right side that is
+    # already provably over the threshold streams through the union
+    # co-shuffle with no extra materialize barrier. Only a small or
+    # unknown-size side pays the measure-by-materialize — and for the
+    # unknown-but-large case the materialized reduction is exactly
+    # what the shuffle consumes, so the extra cost is one object-store
+    # round trip (spill-bounded), not recomputation.
     thresh = broadcast_threshold_bytes()
-    if broadcast != "never" and thresh > 0 and how in ("inner", "left", "semi", "anti"):
+    est_right_files = dataset_est_bytes(right_ds)  # file bytes ≈ memory/4
+    if (
+        broadcast != "never"
+        and thresh > 0
+        and how in ("inner", "left", "semi", "anti")
+        and (broadcast == "force" or est_right_files <= thresh)
+    ):
         import ray
 
         def reduce_right(batch: pa.Table) -> pa.Table:
