@@ -2093,6 +2093,7 @@ def all_queries():
         "revenue_per_orderpriority": relational.revenue_per_orderpriority,
         "top_orders_per_nation": relational.top_orders_per_nation,
         "median_value_per_event_type": relational.median_value_per_event_type,
+        "mad_value_per_event_type": relational.mad_value_per_event_type,
         "median_value_per_user_bucket": relational.median_value_per_user_bucket,
         "value_p90_per_event_type": relational.value_p90_per_event_type,
         "orders_price_tiers": relational.orders_price_tiers,
@@ -2279,6 +2280,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "ann_ivf_topk": ANN_TOPK_SQL,  # full probe == exact
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
         "median_value_per_event_type": relational.MEDIAN_SQL,
+        "mad_value_per_event_type": relational.MAD_SQL,
         "median_value_per_user_bucket": relational.MEDIAN_USER_BUCKET_SQL,
         "value_p90_per_event_type": relational.VALUE_P90_SQL,
         "orders_price_tiers": relational.PRICE_TIERS_SQL,

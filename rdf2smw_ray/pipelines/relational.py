@@ -1245,3 +1245,71 @@ FROM orders o JOIN r ON o.o_totalprice = r.price
 WHERE o.o_orderdate = r.gmin AND (r.mstrict IS NULL OR o.o_orderdate < r.mstrict)
 ORDER BY o.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation per key — robust dispersion, composed from
+# TWO exact distributed order-statistic passes (no whole-group task at
+# any key skew). DISC (lower-median) rank semantics on both passes so
+# every selected value is an actual data value: the deviations
+# ABS(value - med) are then bit-identical IEEE doubles in both engines
+# and the outer selection picks the identical element. Driver state is
+# one float per key (event_type is bounded-cardinality by schema).
+# ---------------------------------------------------------------------------
+def mad_value_per_event_type(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    from rdf2smw_ray.pipelines.sketches import exact_median_per_key
+    from rdf2smw_ray.util import table_from_pandas
+
+    disc = lambda n: ((n + 1) // 2, (n + 1) // 2)  # PERCENTILE_DISC(0.5)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    med = exact_median_per_key(
+        ds, "event_type", "value", ranks_fn=disc, out_col="med"
+    )
+    med_ref = ray.put(dict(zip(med["event_type"], med["med"])))
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df["event_type"].map(ray.get(med_ref))
+        return table_from_pandas(
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "absdev": (df["value"] - m).abs(),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    mad = exact_median_per_key(
+        ds.map_batches(absdev, batch_format="pyarrow"),
+        "event_type",
+        "absdev",
+        ranks_fn=disc,
+        out_col="mad",
+    )
+    # floor-to-cents: same cross-engine determinism argument as
+    # median_value_per_event_type above
+    mad["mad_cents"] = np.floor(mad["mad"].values * 100).astype(np.int64)
+    return (
+        mad[["event_type", "mad_cents"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+MAD_SQL = """
+WITH med AS (
+  SELECT event_type,
+         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(FLOOR(PERCENTILE_DISC(0.5)
+              WITHIN GROUP (ORDER BY ABS(e.value - med.med)) * 100) AS BIGINT)
+         AS mad_cents
+FROM events e JOIN med USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
