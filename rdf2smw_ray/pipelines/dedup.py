@@ -156,16 +156,36 @@ def batch_signatures(
     universal-hash product + ``minimum.reduceat``. ``tok_cache`` is
     accepted for API compatibility but unused (the factorize pass
     already hashes each distinct token once per batch)."""
-    import itertools
-
     n = len(texts)
     num_perm = len(a)
     sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    doc_u, val_u = _batch_shingle_flat(texts, k)
+    if len(doc_u) == 0:
+        return sigs
+    counts = np.bincount(doc_u, minlength=n)
+    nz = counts > 0
+    prod = (val_u[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+    offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    sigs[nz] = np.minimum.reduceat(prod, offsets, axis=1).T
+    return sigs
+
+
+def _batch_shingle_flat(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT shingle hash sets for a whole batch, flat:
+    returns (doc_idx, shingle_hash) sorted by (doc, hash) with one row
+    per distinct (doc, shingle). Same values as per-doc
+    :func:`shingle_hashes`; no per-doc Python hashing (one factorize
+    pass, one stable-hash call over unique tokens, one global rolling
+    xor-rotate with document-boundary masking)."""
+    import itertools
+
+    n = len(texts)
+    empty = (np.array([], np.int64), np.array([], np.uint64))
     tok_lists = [(t or "").split() for t in texts]
     tcounts = np.array([len(x) for x in tok_lists], dtype=np.int64)
     total = int(tcounts.sum())
     if total == 0:
-        return sigs
+        return empty
     flat_toks = pd.Series(
         list(itertools.chain.from_iterable(tok_lists)), dtype=object
     )
@@ -200,20 +220,14 @@ def batch_signatures(
         sh_doc.append(np.array([d], dtype=np.int64))
         sh_val.append(acc1)
     if not sh_doc:
-        return sigs
+        return empty
     doc_all = np.concatenate(sh_doc)
     val_all = np.concatenate(sh_val)
     order = np.lexsort((val_all, doc_all))
     doc_s, val_s = doc_all[order], val_all[order]
     first = np.ones(len(doc_s), dtype=bool)
     first[1:] = (doc_s[1:] != doc_s[:-1]) | (val_s[1:] != val_s[:-1])
-    doc_u, val_u = doc_s[first], val_s[first]
-    counts = np.bincount(doc_u, minlength=n)
-    nz = counts > 0
-    prod = (val_u[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-    offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
-    sigs[nz] = np.minimum.reduceat(prod, offsets, axis=1).T
-    return sigs
+    return doc_s[first], val_s[first]
 
 
 def band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
@@ -692,6 +706,101 @@ def cross_corpus_near_dup(
     )
     return _verify_jaccard_edges(
         pairs, eligible, a_col="base_id", b_col="new_id", threshold=threshold, k=k
+    )
+
+
+def prefix_filter_pairs(docs, *, threshold=0.8, k=5, concurrency=4):
+    """EXACT set-similarity join via prefix filtering (the PPJoin
+    candidate condition) — recall 1.0 BY CONSTRUCTION, the exact
+    complement to the probabilistic LSH candidates: under any fixed
+    global token order, two shingle sets with Jaccard ≥ t must share a
+    token inside each other's first ``|s| - ceil(t·|s|) + 1`` tokens,
+    so grouping prefix tokens finds every qualifying pair.
+
+    Scale shape: one flat shingle pass per batch (shared kernel with
+    MinHash), each doc emits only its PREFIX tokens (≈ (1-t)·|s| rows),
+    one coarse co-shuffle on the token hash, in-group pair generation
+    bounded by token frequency, distinct, then the distributed
+    exact-Jaccard verify. The global order here is the hash value; a
+    production variant orders by ascending document frequency (one
+    extra combiner-first df pass) so the hottest tokens land LAST in
+    every prefix, shrinking candidate groups — the filter is correct
+    under either order."""
+    from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+    def long_enough(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        return batch.filter(pa.array((texts.str.count(r"\S+") >= k).to_numpy()))
+
+    eligible = docs.map_batches(long_enough, batch_format="pyarrow")
+    nb = auto_buckets(dataset_est_bytes(docs))
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        doc_u, val_u = _batch_shingle_flat(texts, k)
+        if len(doc_u) == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "__cb": pa.array([], pa.int32()),
+                }
+            )
+        first = np.concatenate(([True], doc_u[1:] != doc_u[:-1]))
+        seg_starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(seg_starts, len(doc_u)))
+        rank = np.arange(len(doc_u)) - np.repeat(seg_starts, seg_len)
+        s = np.repeat(seg_len, seg_len)
+        # tiny epsilon guards float jitter in t·s landing just ABOVE an
+        # integer (which would shrink the prefix and lose recall)
+        p = s - np.ceil(threshold * s - 1e-9).astype(np.int64) + 1
+        keep = rank < p
+        tok = val_u[keep]
+        return pa.table(
+            {
+                "tok": pa.array(tok, pa.uint64()),
+                "doc_id": pa.array(ids[doc_u[keep]], pa.int64()),
+                "__cb": pa.array((tok % np.uint64(nb)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    rows = eligible.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def coarse_tok_pairs(df: pd.DataFrame) -> pa.Table:
+        tok = df["tok"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        order = np.lexsort((ids, tok))
+        tok, ids = tok[order], ids[order]
+        new = np.concatenate(([True], tok[1:] != tok[:-1]))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(ids)))
+        out_a, out_b = [], []
+        for st, c in zip(starts[counts > 1], counts[counts > 1]):
+            seg = ids[st : st + c]
+            i, j = np.triu_indices(c, k=1)
+            out_a.append(seg[i])
+            out_b.append(seg[j])
+        if not out_a:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    pairs = (
+        rows.groupby("__cb")
+        .map_groups(coarse_tok_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+    )
+    return _verify_jaccard_edges(
+        pairs, eligible, a_col="doc_a", b_col="doc_b", threshold=threshold, k=k
     )
 
 

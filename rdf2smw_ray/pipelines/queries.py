@@ -1794,6 +1794,25 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_prefix_jaccard_pairs(sf_dir: str):
+    """EXACT prefix-filter set-similarity join — same contract and
+    oracle as jaccard_pairs, but recall 1.0 by construction instead of
+    by LSH banding probability (complementary algorithm, identical
+    answer set)."""
+    from rdf2smw_ray.pipelines.dedup import prefix_filter_pairs
+
+    out = prefix_filter_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, concurrency=2
+    ).to_pandas()
+    if "doc_a" not in out.columns:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        )
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_incremental_near_dup(sf_dir: str):
     """Incremental ingestion dedup: even doc_ids play the existing
     corpus, odd doc_ids the incoming batch; verified cross-side pairs
@@ -2144,6 +2163,7 @@ def all_queries():
         "minhash_dedup": q_minhash_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "incremental_near_dup": q_incremental_near_dup,
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "simhash": q_simhash,
@@ -2273,6 +2293,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "incremental_near_dup": INCREMENTAL_NEAR_DUP_SQL,
+        "prefix_jaccard_pairs": JACCARD_PAIRS_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
         "ann_topk": ANN_TOPK_SQL,

@@ -249,3 +249,45 @@ def test_pareto_skyline_random_parity(ray_session, tmp_path, monkeypatch):
     exp["o_orderdate"] = exp["o_orderdate"].dt.strftime("%Y-%m-%d")
     exp = exp.sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_prefix_filter_exact_recall_random(ray_session):
+    """Prefix filtering guarantees recall 1.0 for ANY corpus (unlike
+    LSH banding): verified pairs must equal the exact all-pairs shingle
+    Jaccard on random corpora with heavy near-dup structure."""
+    from rdf2smw_ray.pipelines.dedup import prefix_filter_pairs, shingle_hashes
+
+    for seed in (2, 9):
+        rng = random.Random(seed)
+        base = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(6, 18)))
+            for _ in range(18)
+        ]
+        # mutated copies at varying distances → pairs straddling t=0.7
+        texts = list(base)
+        for b in base[:10]:
+            w = b.split()
+            i = rng.randrange(len(w))
+            w[i] = rng.choice(VOCAB)
+            texts.append(" ".join(w))
+        ids = list(range(len(texts)))
+        t = 0.7
+        out = (
+            prefix_filter_pairs(_ds(ids, texts), threshold=t, k=3, concurrency=2)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        sets = {
+            i: set(shingle_hashes(texts[i], 3).tolist())
+            for i in ids
+            if len(texts[i].split()) >= 3
+        }
+        exp = sorted(
+            (a, b)
+            for a in sets
+            for b in sets
+            if a < b
+            and len(sets[a] & sets[b]) / max(1, len(sets[a] | sets[b])) >= t
+        )
+        assert list(zip(out["doc_a"], out["doc_b"])) == exp
