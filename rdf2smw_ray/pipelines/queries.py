@@ -19,7 +19,7 @@ import pyarrow as pa
 from rdf2smw_ray.util import table_from_pandas
 import pyarrow.parquet as pq
 
-from rdf2smw_ray.pipelines import packing, relational, windows
+from rdf2smw_ray.pipelines import packing, ranking, relational, windows
 from rdf2smw_ray.pipelines.ann import (
     LABEL_CENTROID_NORM_SQL,
     ann_brute_topk,
@@ -2124,6 +2124,7 @@ def all_queries():
         "event_counts_long": relational.event_counts_long,
         "mode_event_type": relational.mode_event_type,
         "price_histogram": relational.price_histogram,
+        "order_value_rank": ranking.order_value_rank,
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -2313,6 +2314,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "event_counts_long": relational.EVENT_COUNTS_LONG_SQL,
         "mode_event_type": relational.MODE_EVENT_TYPE_SQL,
         "price_histogram": relational.PRICE_HISTOGRAM_SQL,
+        "order_value_rank": ranking.ORDER_VALUE_RANK_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,
