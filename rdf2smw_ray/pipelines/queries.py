@@ -19,7 +19,7 @@ import pyarrow as pa
 from rdf2smw_ray.util import table_from_pandas
 import pyarrow.parquet as pq
 
-from rdf2smw_ray.pipelines import packing, ranking, relational, windows
+from rdf2smw_ray.pipelines import packing, ranking, relational, spans, windows
 from rdf2smw_ray.pipelines.ann import (
     LABEL_CENTROID_NORM_SQL,
     ann_brute_topk,
@@ -1649,6 +1649,16 @@ ORDER BY doc_id
 """
 
 
+def q_dup_ngram_stats(sf_dir: str):
+    """Per-doc duplicated n-gram span fraction (n=5 for the same
+    small-vocabulary reason as q_decontaminate — the operator takes n
+    as a parameter)."""
+    from rdf2smw_ray.pipelines.spans import dup_ngram_stats
+
+    out = dup_ngram_stats(_docs(sf_dir, columns=["doc_id", "text"]), n=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_docs_per_source(sf_dir: str):
     """Per-source corpus stats: partial per-batch reduce → tiny final
     groupby."""
@@ -2157,6 +2167,7 @@ def all_queries():
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "decontaminate_dist": q_decontaminate_dist,
+        "dup_ngram_stats": q_dup_ngram_stats,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         # dedup
@@ -2287,6 +2298,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "decontaminate_dist": DECONTAMINATE_SQL,
+        "dup_ngram_stats": spans.DUP_NGRAM_STATS_SQL,
         "lang_id": LANG_ID_SQL,
         # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,
         # embedding_near_dup: blake2b/seeded-plane-derived → rows-only;

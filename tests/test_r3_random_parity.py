@@ -291,3 +291,34 @@ def test_prefix_filter_exact_recall_random(ray_session):
             and len(sets[a] & sets[b]) / max(1, len(sets[a] | sets[b])) >= t
         )
         assert list(zip(out["doc_a"], out["doc_b"])) == exp
+
+
+def test_dup_ngram_stats_random_parity(ray_session):
+    from rdf2smw_ray.pipelines.spans import dup_ngram_stats
+
+    n = 3
+    for seed in (11, 12):
+        texts = _corpus(seed, n_docs=30, max_tokens=20)
+        ids = list(range(len(texts)))
+        out = (
+            dup_ngram_stats(_ds(ids, texts), n=n, num_buckets=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # scalar reference: gram -> set of docs containing it
+        grams_per_doc = [
+            [" ".join(t.split()[i : i + n]) for i in range(len(t.split()) - n + 1)]
+            for t in texts
+        ]
+        docs_per_gram = Counter()
+        for gs in grams_per_doc:
+            for g in set(gs):
+                docs_per_gram[g] += 1
+        assert len(out) == len(texts)
+        for i, gs in enumerate(grams_per_doc):
+            row = out.loc[i]
+            dup = sum(1 for g in gs if docs_per_gram[g] >= 2)
+            assert row["n_grams"] == len(gs)
+            assert row["dup_grams"] == dup
+            assert row["dup_pct"] == dup * 100 // max(len(gs), 1)
