@@ -19,7 +19,7 @@ import pyarrow as pa
 from rdf2smw_ray.util import table_from_pandas
 import pyarrow.parquet as pq
 
-from rdf2smw_ray.pipelines import packing, ranking, relational, spans, windows
+from rdf2smw_ray.pipelines import fuzzy, packing, ranking, relational, spans, windows
 from rdf2smw_ray.pipelines.ann import (
     LABEL_CENTROID_NORM_SQL,
     ann_brute_topk,
@@ -2135,6 +2135,8 @@ def all_queries():
         "mode_event_type": relational.mode_event_type,
         "price_histogram": relational.price_histogram,
         "order_value_rank": ranking.order_value_rank,
+        "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
+        "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -2327,6 +2329,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "mode_event_type": relational.MODE_EVENT_TYPE_SQL,
         "price_histogram": relational.PRICE_HISTOGRAM_SQL,
         "order_value_rank": ranking.ORDER_VALUE_RANK_SQL,
+        "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
+        "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,
