@@ -19,7 +19,7 @@ import pyarrow as pa
 from rdf2smw_ray.util import table_from_pandas
 import pyarrow.parquet as pq
 
-from rdf2smw_ray.pipelines import fuzzy, packing, ranking, relational, spans, windows
+from rdf2smw_ray.pipelines import dq, fuzzy, packing, ranking, relational, spans, windows
 from rdf2smw_ray.pipelines.ann import (
     LABEL_CENTROID_NORM_SQL,
     ann_brute_topk,
@@ -2137,6 +2137,7 @@ def all_queries():
         "order_value_rank": ranking.order_value_rank,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
+        "dq_violations": dq.dq_violations,
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -2331,6 +2332,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "order_value_rank": ranking.ORDER_VALUE_RANK_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
+        "dq_violations": dq.DQ_VIOLATIONS_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,
