@@ -29,6 +29,7 @@ from rdf2smw_ray.pipelines.ann import (
 from rdf2smw_ray.pipelines.dedup import exact_dedup, minhash_dedup, simhashes
 from rdf2smw_ray.pipelines.textstats import (
     STOPWORDS,
+    TOP_TOKENS_PER_LANG_SQL,
     fingerprints,
     lang_id,
     quality_score,
@@ -1107,6 +1108,12 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM (
 """
 
 
+def q_top_tokens_per_lang(sf_dir: str):
+    from rdf2smw_ray.pipelines.textstats import top_tokens_per_lang
+
+    return top_tokens_per_lang(_docs(sf_dir, columns=["lang", "text"]), k=3)
+
+
 def q_token_doc_freq(sf_dir: str):
     from rdf2smw_ray.pipelines.textstats import token_doc_freq
 
@@ -2152,6 +2159,7 @@ def all_queries():
         "value_hour_corr": relational.value_hour_corr,
         "label_centroid_norm": q_label_centroid_norm,
         "top_bigrams": q_top_bigrams,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
         "token_doc_freq": q_token_doc_freq,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
@@ -2283,6 +2291,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "value_hour_corr": relational.VALUE_HOUR_CORR_SQL,
         "label_centroid_norm": LABEL_CENTROID_NORM_SQL,
         "top_bigrams": TOP_BIGRAMS_SQL,
+        "top_tokens_per_lang": TOP_TOKENS_PER_LANG_SQL,
         "token_doc_freq": TOKEN_DOC_FREQ_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "repetition_stats": REPETITION_STATS_SQL,

@@ -877,3 +877,79 @@ def stratified_sample_k(docs, *, k: int = 5):
         .groupby("source")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def top_tokens_per_lang(docs, *, k: int = 3) -> pd.DataFrame:
+    """Grouped heavy hitters: the k most frequent tokens PER LANGUAGE
+    (tie-break: token ascending) — the per-group variant of
+    :func:`top_bigrams`'s global top-k. Combiner-first throughout:
+    per-batch (lang, token) counts shuffle once, the per-lang top-k is
+    taken locally per block after the global sum (≤ k·langs rows per
+    block reach the final selection), and the final per-lang head-k is
+    a groupby over those candidates — the corpus never sorts."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        langs = pd.Series(batch["lang"].to_pylist(), dtype=object)
+        toks = texts.str.split()
+        counts = toks.map(len).to_numpy()
+        if counts.sum() == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate([t for t in toks if t]).astype(object)
+        lang_rep = np.repeat(langs.to_numpy(), counts)
+        g = (
+            pd.DataFrame({"lang": lang_rep, "token": flat})
+            .groupby(["lang", "token"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].to_numpy(), pa.string()),
+                "token": pa.array(g["token"].to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    summed = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "token"], ascending=[False, True])
+        return table_from_pandas(
+            df.groupby("lang", sort=False).head(k), preserve_index=False
+        )
+
+    out = summed.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["n", "token"], ascending=[False, True])
+    out = out.groupby("lang", sort=False).head(k)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "token"]).reset_index(drop=True)
+
+
+TOP_TOKENS_PER_LANG_SQL = r"""
+WITH t AS (SELECT lang, string_split_regex(text, '\s+') AS w FROM documents),
+c AS (
+  SELECT lang, token, COUNT(*) AS n
+  FROM (SELECT lang, unnest(w) AS token FROM t)
+  WHERE token <> '' GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+  FROM c
+)
+SELECT lang, token, CAST(n AS BIGINT) AS n
+FROM r WHERE rn <= 3 ORDER BY lang, token
+"""
