@@ -253,6 +253,12 @@ def run_queries(num_cpus: int) -> dict:
         "cohort_retention",
         "kg_triangles",
         "global_click_pressure",
+        # round-3 batch 3
+        "order_value_rank",
+        "dup_ngram_stats",
+        "fuzzy_customer_pairs",
+        "dq_violations",
+        "top_tokens_per_lang",
     ]
     q = all_queries()
     times = {}

@@ -2145,6 +2145,7 @@ def all_queries():
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
+        "fuzzy_part_canon": fuzzy.fuzzy_part_canon,
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -2342,6 +2343,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,
+        "fuzzy_part_canon": fuzzy.FUZZY_PART_CANON_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,
         "clicks_before_purchase_window": windows.WINDOW_COUNT_SQL,

@@ -132,3 +132,85 @@ SELECT o_orderkey,
          AS quartile
 FROM orders ORDER BY o_orderkey
 """
+
+
+def dense_rank_strings(ds, *, column: str, num_buckets: int | None = None,
+                       sample_target: int = 8192):
+    """Order-preserving dense int64 ids for a column of DISTINCT
+    strings: (v, id) with id = rank of v in lexicographic order.
+
+    The numeric ``global_rank`` above range-partitions on equi-width
+    value buckets; strings have no width, so the boundaries come from
+    a DETERMINISTIC hash-gated sample (rate sized to ``sample_target``
+    rows, so driver state stays bounded at any corpus size — the
+    standard distributed-sort boundary sample). Then the same shape:
+    per-bucket counts → exclusive driver scan → local sort + offset.
+
+    min(id) over any subset equals the id of min(string) — the
+    property the entity-canonicalization pipeline (fuzzy_pairs →
+    connected components → min representative) relies on.
+    """
+    import ray
+
+    from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+    ds = ds.select_columns([column]).materialize()
+    n = ds.count()
+    if num_buckets is None:
+        num_buckets = auto_buckets(dataset_est_bytes(ds))
+    rate = min(1.0, sample_target / max(n, 1))
+    thr = (
+        np.iinfo(np.uint64).max
+        if rate >= 1.0
+        else np.uint64(rate * float(np.iinfo(np.uint64).max))
+    )
+
+    def sample(batch: pa.Table) -> pa.Table:
+        v = pd.Series(batch[column].to_pylist(), dtype=object)
+        h = pd.util.hash_pandas_object(v, index=False).to_numpy().astype(np.uint64)
+        return pa.table({column: pa.array(v[h <= thr].to_numpy(), pa.string())})
+
+    boundary_rows = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    smp = np.sort(boundary_rows[column].to_numpy()) if len(boundary_rows) else np.array([], dtype=object)
+    if len(smp) >= num_buckets:
+        idx = (np.arange(1, num_buckets) * len(smp)) // num_buckets
+        bounds = smp[idx]
+    else:
+        bounds = smp[1:] if len(smp) > 1 else np.array([], dtype=object)
+    bounds_ref = ray.put(bounds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        v = pd.Series(batch[column].to_pylist(), dtype=object).to_numpy()
+        bk = np.searchsorted(b, v, side="right") if len(b) else np.zeros(len(v), dtype=np.int64)
+        return batch.append_column(
+            "__bucket", pa.array(np.asarray(bk, dtype=np.int32), pa.int32())
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    counts = (
+        bucketed.groupby("__bucket").count().to_pandas().sort_values("__bucket")
+    )
+    offs = dict(
+        zip(
+            counts["__bucket"].astype(int),
+            np.concatenate(
+                ([0], counts["count()"].to_numpy()[:-1].cumsum())
+            ).astype(np.int64),
+        )
+    )
+    offs_ref = ray.put(offs)
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        base = ray.get(offs_ref)[int(df["__bucket"].iat[0])]
+        df = df.sort_values(column, kind="mergesort")
+        return pa.table(
+            {
+                column: pa.array(df[column].to_numpy(), pa.string()),
+                "id": pa.array(
+                    base + np.arange(len(df), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return bucketed.groupby("__bucket").map_groups(assign, batch_format="pandas")
