@@ -46,3 +46,23 @@ def test_global_rank_skewed_values(ray_session):
     exp = df.sort_values(["v", "id"]).reset_index(drop=True)
     got = out.set_index("rnk").sort_index()
     assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
+
+
+def test_dense_rank_strings_order_preserving(ray_session):
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.ranking import dense_rank_strings
+
+    rng = np.random.RandomState(3)
+    names = list({"".join(rng.choice(list("abcdef"), rng.randint(1, 10))) for _ in range(300)})
+    ds = rd.from_pandas(pd.DataFrame({"v": names})).repartition(5)
+    # tiny sample_target forces the sampled-boundary path
+    out = (
+        dense_rank_strings(ds, column="v", num_buckets=6, sample_target=40)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(names)
+    assert out["id"].tolist() == list(range(len(names)))
+    assert out["v"].tolist() == sorted(names)
