@@ -66,3 +66,32 @@ def test_dense_rank_strings_order_preserving(ray_session):
     assert len(out) == len(names)
     assert out["id"].tolist() == list(range(len(names)))
     assert out["v"].tolist() == sorted(names)
+
+
+def test_grouped_rank_two_hot_keys(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.ranking import grouped_rank
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.rand(n) < 0.7, "hot", "cold"),
+            "id": np.arange(n, dtype=np.int64),
+            "v": np.round(rng.rand(n) * 100, 2),
+        }
+    )
+    out = grouped_rank(
+        rd.from_pandas(df).repartition(6),
+        key_col="k", value_col="v", id_col="id", tiles=3, num_buckets=8,
+    )
+    exp = duckdb.sql(
+        """SELECT k, id,
+                  ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, id) AS price_rank,
+                  CAST(NTILE(3) OVER (PARTITION BY k ORDER BY v, id) AS BIGINT) AS tile
+           FROM df ORDER BY id"""
+    ).df()
+    got = out.rename(columns={"rnk": "price_rank"}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
