@@ -2211,6 +2211,7 @@ def all_queries():
         "hopping_window_distinct_users": windows.hopping_window_distinct_users,
         "user_event_path": windows.user_event_path,
         "rolling_value_sum": windows.rolling_value_sum,
+        "user_state_intervals": windows.user_state_intervals,
         "cohort_retention": windows.cohort_retention,
         "zscore_value_per_event_type": relational.zscore_value_per_event_type,
         "latest_event_per_user": windows.latest_event_per_user,
@@ -2357,6 +2358,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "hopping_window_distinct_users": windows.HOPPING_DISTINCT_SQL,
         "user_event_path": windows.USER_EVENT_PATH_SQL,
         "rolling_value_sum": windows.ROLLING_VALUE_SUM_SQL,
+        "user_state_intervals": windows.USER_STATE_INTERVALS_SQL,
         "cohort_retention": windows.COHORT_RETENTION_SQL,
         "zscore_value_per_event_type": relational.ZSCORE_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,

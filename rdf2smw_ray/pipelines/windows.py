@@ -958,3 +958,47 @@ SELECT cohort_week, week - cohort_week AS week_offset,
 FROM w JOIN f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def user_state_intervals(sf_dir: str) -> pd.DataFrame:
+    """Validity intervals per user state change — the SCD-2 / CDC
+    history-build shape: each event's state (event_type) is valid from
+    its own timestamp until the user's NEXT event (LEAD), the last one
+    open-ended (valid_to_us = -1; integer sentinel keeps the output
+    float-free). Same one user-bucket shuffle as the LAG family
+    (inter_event_gap_stats); the LEAD is a seam-masked shift after one
+    per-bucket mergesort."""
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        users = df["user_id"].to_numpy()
+        nxt = np.full(len(df), -1, dtype=np.int64)
+        if len(df) > 1:
+            same = users[:-1] == users[1:]
+            nxt[:-1] = np.where(same, ts[1:], -1)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "valid_from_us": pa.array(ts, pa.int64()),
+                "valid_to_us": pa.array(nxt, pa.int64()),
+            }
+        )
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+USER_STATE_INTERVALS_SQL = """
+SELECT event_id,
+       epoch_us(ts) AS valid_from_us,
+       COALESCE(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)), -1)
+         AS valid_to_us
+FROM events ORDER BY event_id
+"""
