@@ -2143,6 +2143,7 @@ def all_queries():
         "price_histogram": relational.price_histogram,
         "order_value_rank": ranking.order_value_rank,
         "order_rank_in_priority": ranking.order_rank_in_priority,
+        "nation_accounts": relational.nation_accounts,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
@@ -2343,6 +2344,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "price_histogram": relational.PRICE_HISTOGRAM_SQL,
         "order_value_rank": ranking.ORDER_VALUE_RANK_SQL,
         "order_rank_in_priority": ranking.ORDER_RANK_IN_PRIORITY_SQL,
+        "nation_accounts": relational.NATION_ACCOUNTS_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

@@ -1313,3 +1313,68 @@ SELECT e.event_type,
 FROM events e JOIN med USING (event_type)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def nation_accounts(sf_dir: str) -> pd.DataFrame:
+    """Supplier-vs-customer account rollup per nation: two independent
+    combiner-first aggregates (each ≤1 row per nation per batch enters
+    its shuffle) meeting in a driver-side merge that is bounded by the
+    NATION count — the multi-fact-table dashboard shape. Exercises the
+    supplier table (the one base table no other query touched)."""
+    from ray.data.aggregate import Sum
+
+    def agg_side(table: str, key: str, bal: str):
+        ds = _read(sf_dir, table, columns=[key, bal])
+
+        def pre(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = (
+                df.groupby(key, sort=False)
+                .agg(n=(bal, "size"), bal=(bal, "sum"))
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "nationkey": pa.array(g[key].to_numpy(), pa.int64()),
+                    "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                    "bal": pa.array(g["bal"].to_numpy(), pa.float64()),
+                }
+            )
+
+        return (
+            ds.map_batches(pre, batch_format="pyarrow")
+            .groupby("nationkey")
+            .aggregate(Sum("n", alias_name="n"), Sum("bal", alias_name="bal"))
+            .to_pandas()  # ≤ one row per nation — bounded final aggregate
+        )
+
+    supp = agg_side("supplier", "s_nationkey", "s_acctbal").set_index("nationkey")
+    cust = agg_side("customer", "c_nationkey", "c_acctbal").set_index("nationkey")
+    nations = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = nations.set_index("n_nationkey")
+    out["n_suppliers"] = supp["n"].reindex(out.index).fillna(0).astype("int64")
+    out["supp_bal"] = supp["bal"].reindex(out.index).fillna(0.0).round(2)
+    out["n_customers"] = cust["n"].reindex(out.index).fillna(0).astype("int64")
+    out["cust_bal"] = cust["bal"].reindex(out.index).fillna(0.0).round(2)
+    return (
+        out.reset_index(drop=True)[
+            ["n_name", "n_suppliers", "supp_bal", "n_customers", "cust_bal"]
+        ]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+NATION_ACCOUNTS_SQL = """
+SELECT n_name,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_suppliers,
+       ROUND(COALESCE(s.bal, 0), 2) AS supp_bal,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_customers,
+       ROUND(COALESCE(c.bal, 0), 2) AS cust_bal
+FROM nation
+LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n, SUM(s_acctbal) AS bal
+           FROM supplier GROUP BY 1) s ON n_nationkey = s.s_nationkey
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n, SUM(c_acctbal) AS bal
+           FROM customer GROUP BY 1) c ON n_nationkey = c.c_nationkey
+ORDER BY n_name
+"""
