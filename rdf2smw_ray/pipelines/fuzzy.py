@@ -357,9 +357,23 @@ def fuzzy_canon(values, *, column: str, max_dist: int = 2, salts: int = 4):
     from rdf2smw_ray.pipelines.ranking import dense_rank_strings
     from rdf2smw_ray.stages.join import bucketed_join
 
+    import ray.data as rd
+
     distinct = distinct_values(values, column=column).materialize()
     pairs = fuzzy_pairs(
         values, column=column, max_dist=max_dist, salts=salts, distinct=distinct
+    ).union(
+        # no-hit corpora leave zero blocks -> schema None; typed empty
+        # union keeps the id joins schema-stable
+        rd.from_arrow(
+            pa.table(
+                {
+                    "name_a": pa.array([], pa.string()),
+                    "name_b": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        )
     )
     ids = dense_rank_strings(distinct, column="v").materialize()
 

@@ -102,6 +102,8 @@ def dup_ngram_stats(docs, *, n: int = 5, num_buckets: int | None = None):
             }
         )
 
+    import ray.data as rd
+
     per_doc = (
         docs.map_batches(gram_counts, batch_format="pyarrow")
         .groupby("__bucket")
@@ -110,6 +112,19 @@ def dup_ngram_stats(docs, *, n: int = 5, num_buckets: int | None = None):
         .aggregate(
             Sum("n_grams", alias_name="n_grams"),
             Sum("dup_grams", alias_name="dup_grams"),
+        )
+    )
+    # an all-short corpus leaves zero blocks -> schema None; a typed
+    # empty union keeps the downstream join schema-stable
+    per_doc = per_doc.union(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "dup_grams": pa.array([], pa.int64()),
+                }
+            )
         )
     )
 

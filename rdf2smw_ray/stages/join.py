@@ -229,6 +229,14 @@ def bucketed_join(
         out_fields += [(dst, right_types[src]) for src, dst in payload.items()]
     out_schema = pa.schema(out_fields)
 
+    def _schema_stable(ds):
+        # an all-empty result otherwise reports schema None (blocks
+        # without columns), breaking any downstream bucketed_join /
+        # select; one typed empty block pins the declared out_schema
+        import ray.data as rd
+
+        return ds.union(rd.from_arrow(out_schema.empty_table()))
+
     def _typed(df: pd.DataFrame) -> pa.Table:
         # a column in out_fields may be absent from the actual batch:
         # Ray 2.49's .schema() on a select_columns projection of a
@@ -282,10 +290,13 @@ def bucketed_join(
         m = reduced.materialize()
         if broadcast == "force" or (m.size_bytes() or 0) <= thresh:
             blocks = ray.get(m.to_arrow_refs())
-            blocks = [b for b in blocks if b.num_rows] or blocks[:1]
+            # a rows-less AND columns-less block (empty-upstream ray
+            # gotcha) must not become the broadcast table — synthesize
+            # the typed empty instead
+            blocks = [b for b in blocks if b.num_rows]
             if blocks:
                 tbl = pa.concat_tables(blocks)
-            else:  # empty right side with no blocks at all
+            else:  # empty right side
                 tbl = pa.table(
                     {
                         key: pa.array([], right_types[rkey]),
@@ -317,7 +328,7 @@ def bucketed_join(
                 )
                 return _typed(df.merge(r, on=key, how=how))
 
-            return left_ds.map_batches(bmerge, batch_format="pyarrow")
+            return _schema_stable(left_ds.map_batches(bmerge, batch_format="pyarrow"))
         # too big to broadcast: co-shuffle the already-reduced,
         # already-materialized right side (nothing recomputes)
         right_ds = m
@@ -380,7 +391,9 @@ def bucketed_join(
         merged = left.merge(right, on=key, how=how)
         return _typed(merged)
 
-    return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")
+    return _schema_stable(
+        unioned.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")
+    )
 
 
 def drop_if_empty(df: pd.DataFrame, columns: dict[str, str]) -> pd.DataFrame:
