@@ -19,7 +19,7 @@ import pyarrow as pa
 from rdf2smw_ray.util import table_from_pandas
 import pyarrow.parquet as pq
 
-from rdf2smw_ray.pipelines import dq, fuzzy, packing, ranking, relational, spans, windows
+from rdf2smw_ray.pipelines import diff, dq, fuzzy, packing, ranking, relational, spans, windows
 from rdf2smw_ray.pipelines.ann import (
     LABEL_CENTROID_NORM_SQL,
     ann_brute_topk,
@@ -2144,6 +2144,7 @@ def all_queries():
         "order_value_rank": ranking.order_value_rank,
         "order_rank_in_priority": ranking.order_rank_in_priority,
         "nation_accounts": relational.nation_accounts,
+        "trimmed_mean_value_per_event_type": relational.trimmed_mean_value_per_event_type,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
@@ -2182,6 +2183,7 @@ def all_queries():
         "decontaminate": q_decontaminate,
         "decontaminate_dist": q_decontaminate_dist,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "corpus_diff": diff.corpus_diff_query,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         # dedup
@@ -2315,6 +2317,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "decontaminate": DECONTAMINATE_SQL,
         "decontaminate_dist": DECONTAMINATE_SQL,
         "dup_ngram_stats": spans.DUP_NGRAM_STATS_SQL,
+        "corpus_diff": diff.CORPUS_DIFF_SQL,
         "lang_id": LANG_ID_SQL,
         # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,
         # embedding_near_dup: blake2b/seeded-plane-derived → rows-only;
@@ -2345,6 +2348,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "order_value_rank": ranking.ORDER_VALUE_RANK_SQL,
         "order_rank_in_priority": ranking.ORDER_RANK_IN_PRIORITY_SQL,
         "nation_accounts": relational.NATION_ACCOUNTS_SQL,
+        "trimmed_mean_value_per_event_type": relational.TRIMMED_MEAN_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

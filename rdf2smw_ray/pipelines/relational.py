@@ -1378,3 +1378,92 @@ LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n, SUM(c_acctbal) AS bal
            FROM customer GROUP BY 1) c ON n_nationkey = c.c_nationkey
 ORDER BY n_name
 """
+
+
+def trimmed_mean_value_per_event_type(sf_dir: str) -> pd.DataFrame:
+    """Winsor-trimmed mean per key: drop values outside the exact
+    [p10, p90] order statistics, then aggregate — the robust-mean
+    composition of the exact-percentile machinery (both bounds come
+    from ``sketches.exact_percentile_per_key``, so no task ever holds
+    a whole group). The kept values move as integer cents; the mean is
+    a single division of exact BIGINTs, so ROUND(,6) is
+    cross-engine-deterministic (no float sum-order hazard)."""
+    import ray
+
+    from rdf2smw_ray.pipelines.sketches import exact_percentile_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    lo = exact_percentile_per_key(
+        ds, "event_type", "value", num=1, den=10, out_col="lo", exact_threshold=120
+    )
+    hi = exact_percentile_per_key(
+        ds, "event_type", "value", num=9, den=10, out_col="hi", exact_threshold=120
+    )
+    bounds = lo.merge(hi, on="event_type")  # one row per key — driver-bounded
+    ref = ray.put(
+        {
+            r.event_type: (float(r.lo), float(r.hi))
+            for r in bounds.itertuples(index=False)
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        et = pd.Series(batch["event_type"].to_pylist(), dtype=object)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        los = et.map({k: x[0] for k, x in b.items()}).to_numpy(dtype=np.float64)
+        his = et.map({k: x[1] for k, x in b.items()}).to_numpy(dtype=np.float64)
+        keep = (v >= los) & (v <= his)
+        cents = np.floor(v[keep] * 100).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": et.to_numpy()[keep], "c": cents})
+            .groupby("event_type", sort=False)
+            .agg(n_kept=("c", "size"), sum_cents=("c", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+                "n_kept": pa.array(g["n_kept"].to_numpy().astype(np.int64), pa.int64()),
+                "sum_cents": pa.array(g["sum_cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_kept", alias_name="n_kept"), Sum("sum_cents", alias_name="sum_cents"))
+        .to_pandas()
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    out["trimmed_mean"] = (out["sum_cents"] / 100.0 / out["n_kept"]).round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+TRIMMED_MEAN_SQL = """
+WITH o AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         MAX(CASE WHEN rk = (1 * n + 9) // 10 THEN value END) AS lo,
+         MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN value END) AS hi
+  FROM o GROUP BY 1
+),
+t AS (
+  SELECT e.event_type, CAST(FLOOR(e.value * 100) AS BIGINT) AS c
+  FROM events e JOIN b USING (event_type)
+  WHERE e.value >= b.lo AND e.value <= b.hi
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(c) AS BIGINT) AS sum_cents,
+       ROUND(SUM(c) / 100.0 / COUNT(*), 6) AS trimmed_mean
+FROM t GROUP BY 1 ORDER BY 1
+"""
