@@ -259,6 +259,8 @@ def run_queries(num_cpus: int) -> dict:
         "fuzzy_customer_pairs",
         "dq_violations",
         "top_tokens_per_lang",
+        "trimmed_mean_value_per_event_type",
+        "corpus_diff",
     ]
     q = all_queries()
     times = {}
