@@ -422,3 +422,158 @@ SELECT CAST(label AS BIGINT) AS label,
        ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm
 FROM c GROUP BY 1 ORDER BY 1
 """
+
+
+def knn_graph(embeddings, *, k: int = 3, num_tiles: int | None = None):
+    """All-pairs k-nearest-neighbor GRAPH by cosine: for every vector,
+    its k most similar others — the building block under embedding
+    clustering, near-dup graphs and diversity sampling.
+
+    Distributed as TILED GEMM (the standard blocked all-pairs shape):
+    vectors split into T id-range tiles; each tile meets each other in
+    a (src_tile, dst_tile) bucket — one matmul per bucket, per-source
+    local top-k inside, so only T·k candidate rows per source leave
+    any task. The final per-source selection is a coarse-bucketed
+    vectorized head-k (lexsort + boundary mask, no per-source Python).
+    Replication is O(T) per row (blocked-GEMM tradeoff: T bounds both
+    task memory and shuffle volume); corpora too big for O(n²/T²)
+    tiles should use the IVF path (``ann_ivf_topk``) instead.
+
+    Ranking is on ROUND(score, 6) with neighbor-id tie-break — the
+    bm25 pattern that keeps the selected row SET identical across
+    engines despite float sum-order noise (both sides compute the
+    cosine in float64)."""
+    import ray
+    from ray.data.aggregate import Max
+
+    emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    if num_tiles is None:
+        num_tiles = 4
+    max_id = int(emb.aggregate(Max("vec_id"))["max(vec_id)"])
+    width = max(1, (max_id + num_tiles) // num_tiles)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(batch["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-12
+        mat = mat / norms[:, None]
+        tile = ids // width
+        n = len(ids)
+        flat = pa.array(mat.ravel(), pa.float64())
+        vecs = pa.FixedSizeListArray.from_arrays(flat, mat.shape[1])
+        parts = []
+        for other in range(num_tiles):
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "v": vecs,
+                        "__bucket": pa.array(tile * num_tiles + other, pa.int64()),
+                        "is_src": pa.array(np.ones(n, dtype=bool)),
+                    }
+                )
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "v": vecs,
+                        "__bucket": pa.array(
+                            np.int64(other) * num_tiles + tile, pa.int64()
+                        ),
+                        "is_src": pa.array(np.zeros(n, dtype=bool)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def tile_topk(df: pd.DataFrame) -> pa.Table:
+        src = df[df["is_src"]].drop_duplicates("vec_id")
+        dst = df[~df["is_src"]].drop_duplicates("vec_id")
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if not len(src) or not len(dst):
+            return empty
+        sm = np.stack(src["v"].to_numpy())
+        dm = np.stack(dst["v"].to_numpy())
+        sid = src["vec_id"].to_numpy(dtype=np.int64)
+        did = dst["vec_id"].to_numpy(dtype=np.int64)
+        scores = sm @ dm.T
+        scores[sid[:, None] == did[None, :]] = -np.inf  # no self edge
+        # +8 margin: the tile cut is on RAW scores, the final rank on
+        # ROUND(,6)+id — the margin keeps boundary round-ties alive
+        kk = min(k + 8, scores.shape[1])
+        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(sid, kk)
+        cols = did[idx.ravel()]
+        vals = np.take_along_axis(scores, idx, axis=1).ravel()
+        keep = np.isfinite(vals)
+        return pa.table(
+            {
+                "vec_id": pa.array(rows[keep], pa.int64()),
+                "nbr_id": pa.array(cols[keep], pa.int64()),
+                "score": pa.array(vals[keep], pa.float64()),
+            }
+        )
+
+    candidates = (
+        emb.map_batches(emit, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(tile_topk, batch_format="pandas")
+    )
+
+    def add_srcbucket(batch: pa.Table) -> pa.Table:
+        h = batch["vec_id"].to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("__b", pa.array(h.astype(np.int32), pa.int32()))
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        s6 = np.round(df["score"].to_numpy(dtype=np.float64), 6)
+        order = np.lexsort(
+            (df["nbr_id"].to_numpy(), -s6, df["vec_id"].to_numpy())
+        )
+        df = df.iloc[order]
+        pos = df.groupby("vec_id", sort=False).cumcount().to_numpy()
+        keep = pos < k
+        return pa.table(
+            {
+                "vec_id": pa.array(df["vec_id"].to_numpy()[keep], pa.int64()),
+                "nbr_id": pa.array(df["nbr_id"].to_numpy()[keep], pa.int64()),
+                "rk": pa.array((pos[keep] + 1).astype(np.int64), pa.int64()),
+                "score": pa.array(
+                    np.round(df["score"].to_numpy(dtype=np.float64)[keep], 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    out = (
+        candidates.map_batches(add_srcbucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["vec_id", "rk"]).reset_index(drop=True)
+
+
+KNN_GRAPH_SQL = """
+WITH p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS s
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, nbr_id, s,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(s, 6) DESC, nbr_id) AS rk
+  FROM p
+)
+SELECT vec_id, nbr_id, CAST(rk AS BIGINT) AS rk, ROUND(s, 4) AS score
+FROM r WHERE rk <= 3 ORDER BY vec_id, rk
+"""

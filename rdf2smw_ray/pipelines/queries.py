@@ -21,6 +21,7 @@ import pyarrow.parquet as pq
 
 from rdf2smw_ray.pipelines import diff, dq, fuzzy, packing, ranking, relational, spans, windows
 from rdf2smw_ray.pipelines.ann import (
+    KNN_GRAPH_SQL,
     LABEL_CENTROID_NORM_SQL,
     ann_brute_topk,
     ann_lsh_topk,
@@ -2010,6 +2011,13 @@ LIMIT 10
 """
 
 
+def q_knn_graph(sf_dir: str):
+    """All-pairs 3-NN graph over the embeddings table (tiled GEMM)."""
+    from rdf2smw_ray.pipelines.ann import knn_graph
+
+    return knn_graph(_emb(sf_dir), k=3, num_tiles=4)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF top-k with full probe (nprobe = n_lists) — exercises the
     quantizer/assignment/probe machinery end-to-end while remaining
@@ -2198,6 +2206,7 @@ def all_queries():
         "simhash_near_dup": q_simhash_near_dup,
         # similarity search
         "ann_topk": q_ann_topk,
+        "knn_graph": q_knn_graph,
         "embedding_norm_stats": q_embedding_norm_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh,
@@ -2329,6 +2338,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        "knn_graph": KNN_GRAPH_SQL,
         "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
         "ann_ivf_topk": ANN_TOPK_SQL,  # full probe == exact
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,
