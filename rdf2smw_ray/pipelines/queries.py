@@ -2151,6 +2151,7 @@ def all_queries():
         "price_histogram": relational.price_histogram,
         "order_value_rank": ranking.order_value_rank,
         "order_rank_in_priority": ranking.order_rank_in_priority,
+        "quantity_dense_rank": ranking.quantity_dense_rank,
         "nation_accounts": relational.nation_accounts,
         "trimmed_mean_value_per_event_type": relational.trimmed_mean_value_per_event_type,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
@@ -2357,6 +2358,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "price_histogram": relational.PRICE_HISTOGRAM_SQL,
         "order_value_rank": ranking.ORDER_VALUE_RANK_SQL,
         "order_rank_in_priority": ranking.ORDER_RANK_IN_PRIORITY_SQL,
+        "quantity_dense_rank": ranking.QUANTITY_DENSE_RANK_SQL,
         "nation_accounts": relational.NATION_ACCOUNTS_SQL,
         "trimmed_mean_value_per_event_type": relational.TRIMMED_MEAN_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,

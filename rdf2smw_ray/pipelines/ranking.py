@@ -323,3 +323,60 @@ SELECT o_orderpriority, o_orderkey,
          AS quartile
 FROM orders ORDER BY o_orderkey
 """
+
+
+def quantity_dense_rank(sf_dir: str) -> pd.DataFrame:
+    """DENSE_RANK completion of the window-rank family: the dense rank
+    of each distinct quantity within its return flag. Dense rank ==
+    ROW_NUMBER over the DISTINCT value table, so this composes the
+    distinct combiner with :func:`grouped_rank` — no new scan shape."""
+    from ray.data.aggregate import Count
+
+    from rdf2smw_ray.pipelines.relational import _read
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        q = df["l_quantity"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(df["l_returnflag"].to_numpy(), pa.string()),
+                "l_quantity": pa.array(q, pa.float64()),
+                # grouped_rank needs a distinct id column; quantities
+                # are integral so the int view is a faithful id
+                "qty_id": pa.array(q.astype(np.int64), pa.int64()),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_quantity", "qty_id"])
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["l_returnflag", "l_quantity", "qty_id"])
+    )
+    out = grouped_rank(
+        distinct,
+        key_col="l_returnflag",
+        value_col="l_quantity",
+        id_col="qty_id",
+        num_buckets=8,
+    )
+    out = out.rename(columns={"rnk": "dense_rank", "qty_id": "l_quantity"}).drop(
+        columns=["tile"]
+    )
+    # SQL ROUND returns DOUBLE — match the dtype, not just the value
+    out["l_quantity"] = out["l_quantity"].astype(float).round(2)
+    return (
+        out[["l_returnflag", "l_quantity", "dense_rank"]]
+        .sort_values(["l_returnflag", "l_quantity"])
+        .reset_index(drop=True)
+    )
+
+
+QUANTITY_DENSE_RANK_SQL = """
+SELECT DISTINCT l_returnflag, ROUND(l_quantity, 2) AS l_quantity,
+       DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+         AS dense_rank
+FROM lineitem ORDER BY 1, 2
+"""
