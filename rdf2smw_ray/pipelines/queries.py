@@ -2071,6 +2071,43 @@ def q_simhash_near_dup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cms_token_counts(sf_dir: str):
+    """Count-Min frequency estimates for the exact top-20 tokens —
+    run-only (approximate, one-sided error; accuracy pytest-asserted
+    in test_sketches.py like the HLL/quantile sketches)."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.pipelines.sketches import cms_token_counts
+
+    docs = _docs(sf_dir, columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        toks = texts.str.split()
+        if not toks.map(len).sum():
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        flat = np.concatenate([t for t in toks if t]).astype(object)
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    top = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(20)
+    )
+    return cms_token_counts(docs, sorted(top["token"]))
+
+
 def q_value_quantiles(sf_dir: str):
     """Approximate event-value quantiles from the mergeable histogram
     sketch (rows-only — approximate by design; accuracy
@@ -2236,6 +2273,7 @@ def all_queries():
         # sketches
         "approx_distinct_users": q_approx_distinct_users,
         "value_quantiles": q_value_quantiles,
+        "cms_token_counts": q_cms_token_counts,
     }
 
 

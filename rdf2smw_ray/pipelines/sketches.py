@@ -411,3 +411,90 @@ def exact_percentile_per_key(
     return exact_median_per_key(
         ds, key, column, ranks_fn=ranks, out_col=out_col, **kw
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch — approximate frequencies under a fixed memory
+# budget, mergeable by elementwise sum (completes the sketch family:
+# HLL distinct, histogram quantiles, Bloom membership, CMS frequency).
+# ---------------------------------------------------------------------------
+class CMS:
+    """d×w counter matrix; estimate = min over d rows (one-sided:
+    never under-counts, over-counts by ≤ εN with ε≈e/w at the usual
+    confidence 1-δ, δ≈e^-d)."""
+
+    def __init__(self, d: int = 4, w: int = 1 << 14, counts=None):
+        self.d, self.w = d, w
+        self.counts = (
+            counts if counts is not None else np.zeros((d, w), dtype=np.int64)
+        )
+        # fixed odd multipliers: deterministic universal-ish family
+        self._mul = (
+            np.arange(1, d + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            | np.uint64(1)
+        )
+
+    def _cols(self, h: np.ndarray) -> np.ndarray:
+        # (d, n) column index per row hash
+        prod = h[None, :] * self._mul[:, None]
+        return ((prod >> np.uint64(17)) % np.uint64(self.w)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray, weights: np.ndarray | None = None):
+        cols = self._cols(h)
+        w_ = weights if weights is not None else np.ones(len(h), dtype=np.int64)
+        for r in range(self.d):
+            self.counts[r] += np.bincount(cols[r], weights=w_, minlength=self.w).astype(
+                np.int64
+            )
+        return self
+
+    def merge(self, other: "CMS") -> "CMS":
+        self.counts += other.counts
+        return self
+
+    def estimate(self, values: list) -> np.ndarray:
+        h = _hash64([str(v) for v in values])
+        cols = self._cols(h)
+        est = self.counts[0][cols[0]]
+        for r in range(1, self.d):
+            est = np.minimum(est, self.counts[r][cols[r]])
+        return est
+
+
+def cms_token_counts(docs, candidates: list[str], *, d: int = 4, w: int = 1 << 14):
+    """CMS frequency estimates for ``candidates`` over the corpus'
+    whitespace tokens: one sketch per block (vectorized bincount per
+    row), elementwise-sum merge, estimates read once on the driver.
+    Memory is d·w counters regardless of vocabulary size — the
+    fixed-budget complement of the exact combiner-first heavy hitters
+    (``textstats.top_bigrams`` family)."""
+    import pandas as pd
+    from ray.data.aggregate import AggregateFn
+
+    def block(state: CMS, blk) -> CMS:
+        t = blk if isinstance(blk, pa.Table) else table_from_pandas(blk)
+        texts = pd.Series(t["text"].to_pylist(), dtype=object).fillna("")
+        toks = texts.str.split()
+        counts = toks.map(len).to_numpy()
+        if counts.sum() == 0:
+            return state
+        flat = np.concatenate([x for x in toks if x]).astype(object)
+        # per-block unique + weights: one hash pass per distinct token
+        uniq, inv = np.unique(flat, return_inverse=True)
+        weights = np.bincount(inv).astype(np.int64)
+        return state.add_hashes(_hash64(list(uniq)), weights)
+
+    sk = docs.select_columns(["text"]).aggregate(
+        AggregateFn(
+            init=lambda _k: CMS(d, w),
+            merge=lambda a, b: a.merge(b),
+            accumulate_block=block,
+            name="cms",
+        )
+    )["cms"]
+    est = sk.estimate(candidates)
+    import pandas as pd
+
+    return pd.DataFrame({"token": candidates, "est": est.astype("int64")}).sort_values(
+        "token"
+    ).reset_index(drop=True)

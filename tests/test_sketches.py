@@ -153,3 +153,28 @@ def test_exact_percentile_disc_matches_numpy(ray_session):
     }
     got_map = dict(zip(got["k"], got["p90"]))
     assert got_map == want
+
+
+def test_cms_one_sided_and_bounded(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+
+    from rdf2smw_ray.pipelines.sketches import cms_token_counts
+
+    rng = __import__("random").Random(3)
+    vocab = [f"t{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40)))
+        for _ in range(300)
+    ]
+    docs = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())})).repartition(5)
+    true = Counter(tok for t in texts for tok in t.split())
+    n_total = sum(true.values())
+    cand = sorted(vocab[:30])
+    d, w = 4, 1 << 12
+    out = cms_token_counts(docs, cand, d=d, w=w).set_index("token")["est"]
+    eps_bound = int(np.ceil(np.e / w * n_total)) + 1
+    for tok in cand:
+        assert out[tok] >= true[tok]          # never under-counts
+        assert out[tok] <= true[tok] + max(eps_bound, 3)
