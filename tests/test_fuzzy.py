@@ -55,3 +55,20 @@ def test_fuzzy_pairs_brute_force_parity(ray_session):
         exp.sort()
         got = list(out.itertuples(index=False, name=None))
         assert got == exp
+
+
+def test_lev_kernel_unicode():
+    """Astral-plane and combining characters through the utf-32
+    encode: codepoint-level distances must match the scalar DP."""
+    cases = [
+        ("café", "café"),       # precomposed vs combining
+        ("\U0001F600ab", "ab\U0001F600"),  # emoji moved
+        ("你好", "你好吗"),
+        ("", "\U0001F680"),
+        ("áb", "ab"),
+    ]
+    a = pd.Series([x for x, _ in cases])
+    b = pd.Series([y for _, y in cases])
+    got = lev_batch(a, b)
+    exp = np.array([_lev_ref(x, y) for x, y in cases])
+    assert (got == exp).all()
