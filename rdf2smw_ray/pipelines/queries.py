@@ -2262,6 +2262,7 @@ def all_queries():
         "user_event_path": windows.user_event_path,
         "rolling_value_sum": windows.rolling_value_sum,
         "user_state_intervals": windows.user_state_intervals,
+        "event_transitions": windows.event_transitions,
         "cohort_retention": windows.cohort_retention,
         "zscore_value_per_event_type": relational.zscore_value_per_event_type,
         "latest_event_per_user": windows.latest_event_per_user,
@@ -2415,6 +2416,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "user_event_path": windows.USER_EVENT_PATH_SQL,
         "rolling_value_sum": windows.ROLLING_VALUE_SUM_SQL,
         "user_state_intervals": windows.USER_STATE_INTERVALS_SQL,
+        "event_transitions": windows.EVENT_TRANSITIONS_SQL,
         "cohort_retention": windows.COHORT_RETENTION_SQL,
         "zscore_value_per_event_type": relational.ZSCORE_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,

@@ -1002,3 +1002,55 @@ SELECT event_id,
          AS valid_to_us
 FROM events ORDER BY event_id
 """
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Global first-order transition counts between consecutive event
+    types per user (the Markov matrix behavioral models start from).
+    Same one user-bucket shuffle as the LAG family; adjacency pairs
+    are seam-masked shifts, pre-counted per bucket (combiner) before
+    the tiny (|types|² rows) final groupby."""
+    from ray.data.aggregate import Sum
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = users[1:] == users[:-1]
+        g = (
+            pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+            .groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "prev_type": pa.array(g["prev_type"].to_numpy(), pa.string()),
+                "next_type": pa.array(g["next_type"].to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH x AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM x WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
