@@ -261,6 +261,8 @@ def run_queries(num_cpus: int) -> dict:
         "top_tokens_per_lang",
         "trimmed_mean_value_per_event_type",
         "corpus_diff",
+        "knn_graph",
+        "event_transitions",
     ]
     q = all_queries()
     times = {}
