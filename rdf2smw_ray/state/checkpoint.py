@@ -355,3 +355,35 @@ def write_xml_dump(rendered_ds, out_path: str, *, stitch: bool = True) -> int:
                 n += 1
         f.write("</mediawiki>\n")
     return n
+
+
+def write_partitioned(ds, out_dir: str, *, partition_cols: list[str]) -> dict:
+    """Hive-partitioned parquet sink: one ``col=value/`` directory per
+    key — the resumable-output layout the 100-TB plan calls for (a
+    restarted run lists the finished partitions and skips them; a
+    consumer prunes partitions at the read). Writes to a temp dir and
+    promotes atomically (the same crash-safety contract as the XML
+    parts sink), then records a manifest of partition directories."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp, partition_cols=partition_cols)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    parts = sorted(
+        d for d in os.listdir(out_dir)
+        if "=" in d and os.path.isdir(os.path.join(out_dir, d))
+    )
+    manifest = {
+        "partition_cols": partition_cols,
+        "partitions": parts,
+        "rows": pads.dataset(out_dir, partitioning="hive").count_rows(),
+    }
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest

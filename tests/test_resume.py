@@ -167,3 +167,35 @@ def test_xml_dump_framing(tmp_path):
     assert xml.startswith("<mediawiki>\n")
     assert xml.rstrip().endswith("</mediawiki>")
     assert "<page>" in xml and "<ns>0</ns>" in xml
+
+
+def test_write_partitioned_layout_and_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from rdf2smw_ray.state.checkpoint import write_partitioned
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(30)], pa.string()),
+            "text": pa.array([f"doc {i}" for i in range(30)], pa.string()),
+        }
+    )
+    out = str(tmp_path / "by_lang")
+    m = write_partitioned(rd.from_arrow(tbl).repartition(4), out, partition_cols=["lang"])
+    assert m["rows"] == 30
+    assert m["partitions"] == ["lang=de", "lang=en", "lang=fr"]
+    back = (
+        pads.dataset(out, partitioning="hive")
+        .to_table()
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(back) == 30
+    assert (back["lang"].to_numpy() == tbl["lang"].to_numpy(zero_copy_only=False)).all()
+    # partition pruning at the read: one directory, one language
+    en = pads.dataset(out + "/lang=en").to_table()
+    assert en.num_rows == 10
