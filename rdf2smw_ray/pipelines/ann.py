@@ -446,9 +446,17 @@ def knn_graph(embeddings, *, k: int = 3, num_tiles: int | None = None):
     import ray
     from ray.data.aggregate import Max
 
+    from rdf2smw_ray.tuning import dataset_est_bytes
+
     emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
     if num_tiles is None:
-        num_tiles = 4
+        # a tile must fit comfortably in a task (two tiles + the score
+        # block live at once): target ≈64 MB per tile, floor 2 so the
+        # all-pairs shape always decomposes, cap to keep the O(T)
+        # replication bounded
+        num_tiles = int(
+            np.clip((dataset_est_bytes(emb) + (1 << 26) - 1) >> 26, 2, 64)
+        )
     max_id = int(emb.aggregate(Max("vec_id"))["max(vec_id)"])
     width = max(1, (max_id + num_tiles) // num_tiles)
 

@@ -23,6 +23,12 @@ unlike decontamination's bounded benchmark set):
    spine (``stages.join.bucketed_join``).
 
 Driver state: none. Stages hold one gram-hash bucket at a time.
+
+Scale note: the shuffle key is the gram TEXT (what the SQL oracle
+groups by). At 100-TB scale swap it for a 128-bit digest of the gram
+— the shape is unchanged and a birthday collision at 2^64 grams is
+negligible; text is kept here because exactness against the oracle is
+the point of the gate.
 """
 
 from __future__ import annotations

@@ -94,3 +94,29 @@ def test_grouped_rank_single_key_single_bucket(ray_session):
     )
     assert out["rnk"].tolist() == [1, 2, 3, 4, 5]
     assert out["tile"].tolist() == [1, 1, 1, 2, 2]
+
+
+def test_knn_graph_auto_tiles_vs_brute(ray_session):
+    import pyarrow as pa
+
+    from rdf2smw_ray.pipelines.ann import knn_graph
+
+    rng = np.random.RandomState(9)
+    n, d, k = 60, 8, 3
+    mat = rng.randn(n, d).astype(np.float64)
+    flat = pa.array(mat.ravel(), pa.float64())
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(flat, d),
+        }
+    )
+    out = knn_graph(rd.from_arrow(tbl).repartition(3), k=k)  # auto num_tiles
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = norm @ norm.T
+    np.fill_diagonal(scores, -np.inf)
+    for i in range(n):
+        s6 = np.round(scores[i], 6)
+        order = np.lexsort((np.arange(n), -s6))[:k]
+        got = out[out["vec_id"] == i].sort_values("rk")["nbr_id"].tolist()
+        assert got == list(order)
