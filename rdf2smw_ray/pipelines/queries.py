@@ -2191,6 +2191,7 @@ def all_queries():
         "quantity_dense_rank": ranking.quantity_dense_rank,
         "nation_accounts": relational.nation_accounts,
         "trimmed_mean_value_per_event_type": relational.trimmed_mean_value_per_event_type,
+        "local_supplier_volume": relational.local_supplier_volume,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
@@ -2400,6 +2401,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "quantity_dense_rank": ranking.QUANTITY_DENSE_RANK_SQL,
         "nation_accounts": relational.NATION_ACCOUNTS_SQL,
         "trimmed_mean_value_per_event_type": relational.TRIMMED_MEAN_SQL,
+        "local_supplier_volume": relational.LOCAL_SUPPLIER_VOLUME_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

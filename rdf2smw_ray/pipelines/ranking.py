@@ -260,6 +260,8 @@ def grouped_rank(
         kl = keys.map(lo_m).to_numpy(dtype=np.float64)
         kw = keys.map(w_m).to_numpy(dtype=np.float64)
         b = np.clip(((v - kl) / kw).astype(np.int64), 0, num_buckets - 1)
+        # \x1f composes the (key, bucket) id — keys must not contain it
+        assert not keys.str.contains("\x1f").any(), "key contains \\x1f separator"
         comp = keys.astype(str) + "\x1f" + pd.Series(b).astype(str)
         return batch.append_column("__kb", pa.array(comp.to_numpy(), pa.string()))
 

@@ -1467,3 +1467,144 @@ SELECT event_type,
        ROUND(SUM(c) / 100.0 / COUNT(*), 6) AS trimmed_mean
 FROM t GROUP BY 1 ORDER BY 1
 """
+
+
+def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the
+    CUSTOMER and the SUPPLIER share a European nation — the canonical
+    deep join chain (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈
+    supplier) with a cross-side locality predicate.
+
+    Join-order/locality plan: the ontology-sized sides (region, nation,
+    supplier at dimension scale) broadcast; the two corpus-sized fact
+    tables meet in ONE bucketed co-shuffle on the order key, AFTER
+    each is pre-reduced — lineitem revenue is pre-aggregated per
+    (l_orderkey, supplier-nation) inside map_batches, orders carry only
+    (o_orderkey, customer-nation) for European customers — so the
+    shuffle ships two key+payload columns, never raw fact rows. The
+    locality predicate (c_nation == s_nation) applies at the join,
+    before the tiny per-nation final groupby."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    eu = int(region.loc[region["r_name"] == "EUROPE", "r_regionkey"].iloc[0])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    euro_names = dict(
+        zip(
+            nation.loc[nation["n_regionkey"] == eu, "n_nationkey"],
+            nation.loc[nation["n_regionkey"] == eu, "n_name"],
+        )
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    euro_ref, supp_ref = ray.put(euro_names), ray.put(supp_nation)
+
+    # orders side: (o_orderkey, c_nationkey) for European customers
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def euro_cust(batch: pa.Table) -> pa.Table:
+        keys = set(ray.get(euro_ref))
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(nk, list(keys))))
+
+    orders_side = bucketed_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        cust.map_batches(euro_cust, batch_format="pyarrow"),
+        key="o_custkey",
+        right_key="c_custkey",
+        how="inner",
+        right_cols={"c_nationkey": "c_nationkey"},
+        est_bytes=input_bytes(f"{sf_dir}/customer.parquet"),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    # lineitem side: revenue cents pre-aggregated per (orderkey, s_nation)
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sn = ray.get(supp_ref)
+        euro = set(ray.get(euro_ref))
+        df = batch.to_pandas()
+        df["s_nationkey"] = df["l_suppkey"].map(sn)
+        df = df[df["s_nationkey"].isin(euro)]
+        rev = df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "s_nationkey": df["s_nationkey"].to_numpy().astype(np.int64),
+                    "rev": rev,
+                }
+            )
+            .groupby(["l_orderkey", "s_nationkey"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "s_nationkey": pa.array(g["s_nationkey"].to_numpy(), pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    joined = bucketed_join(
+        li,
+        orders_side,
+        key="l_orderkey",
+        right_key="o_orderkey",
+        how="inner",
+        right_cols={"c_nationkey": "c_nationkey"},
+        est_bytes=input_bytes(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"),
+    )
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["s_nationkey"] == df["c_nationkey"]]
+        g = df.groupby("s_nationkey", sort=False)["rev"].sum().reset_index()
+        return pa.table(
+            {
+                "n_key": pa.array(g["s_nationkey"].to_numpy().astype(np.int64), pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(local_partial, batch_format="pyarrow")
+        .groupby("n_key")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    out["n_name"] = out["n_key"].map(euro_names)
+    out["revenue"] = out["rev"].round(2)
+    return (
+        out[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+GROUP BY n_name ORDER BY n_name
+"""
