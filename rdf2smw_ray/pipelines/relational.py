@@ -1608,3 +1608,183 @@ WHERE c_custkey = o_custkey
   AND r_name = 'EUROPE'
 GROUP BY n_name ORDER BY n_name
 """
+
+
+def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly k orders —
+    including k = 0, the wrinkle that forces a LEFT join (customers
+    with no orders vanish from any inner aggregate). Per-customer
+    counts are combiner-first; the zero bucket arrives via the
+    bucketed left join from the customer spine; the final
+    count-of-counts is a two-level groupby (same shape as the Zipf
+    histogram)."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table(
+            {
+                "o_custkey": pa.array(vc.index.to_numpy(), pa.int64()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(pre, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    spine = _read(sf_dir, "customer", columns=["c_custkey"])
+    joined = bucketed_join(
+        spine,
+        per_cust,
+        key="c_custkey",
+        right_key="o_custkey",
+        how="left",
+        right_cols={"n": "n"},
+        est_bytes=input_bytes(f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet"),
+    )
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        n = np.nan_to_num(n.astype(np.float64)).astype(np.int64)
+        vc = pd.Series(n).value_counts()
+        return pa.table(
+            {
+                "c_count": pa.array(vc.index.to_numpy(), pa.int64()),
+                "custdist": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    out["custdist"] = out["custdist"].astype("int64")
+    return (
+        out.sort_values(["custdist", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+
+
+CUSTOMER_ORDER_DIST_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def rich_inactive_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    who never placed an URGENT order — a SCALAR subquery (the global
+    average, one broadcast integer) gating a filter, then an ANTI join
+    against the filtered orders fact, then a per-nation rollup.
+    Balance totals move as integer cents (exact BIGINT sums). (Every
+    customer in the synthetic data has *some* order, so the classic
+    any-order anti join would be vacuously empty — the priority filter
+    keeps the operator semantics and a non-trivial result.)"""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.bloom import bloom_anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    # scalar subquery: average positive balance (exact cents / count)
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        v = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = v[v > 0]
+        cents = np.floor(pos * 100).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    agg = (
+        cust.map_batches(bal_partial, batch_format="pyarrow")
+        .aggregate(Sum("s"), Sum("n"))
+    )
+    avg_cents = agg["sum(s)"] // max(agg["sum(n)"], 1)  # exact integer floor-div (matches SQL //)
+    thr_ref = ray.put(avg_cents)
+
+    def rich(batch: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        cents = np.floor(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return batch.filter(pa.array(cents > thr))
+
+    rich_cust = cust.map_batches(rich, batch_format="pyarrow")
+    def urgent(batch: pa.Table) -> pa.Table:
+        pr = pd.Series(batch["o_orderpriority"].to_pylist(), dtype=object)
+        return batch.filter(pa.array((pr == "1-URGENT").to_numpy()))
+
+    inactive = bloom_anti_join(
+        rich_cust,
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+            urgent, batch_format="pyarrow"
+        ).select_columns(["o_custkey"]),
+        key="c_custkey",
+        right_key="o_custkey",
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.floor(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        g = (
+            df.groupby("c_nationkey", sort=False)
+            .agg(numcust=("c_custkey", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(g["c_nationkey"].to_numpy(), pa.int64()),
+                "numcust": pa.array(g["numcust"].to_numpy().astype(np.int64), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        inactive.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("numcust", alias_name="numcust"), Sum("cents", alias_name="totbal_cents"))
+        .to_pandas()
+    )
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totbal_cents"] = out["totbal_cents"].astype("int64")
+    return (
+        out[["c_nationkey", "numcust", "totbal_cents"]]
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+
+
+RICH_INACTIVE_SQL = """
+WITH avgbal AS (
+  SELECT SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+         // COUNT(*) AS thr
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totbal_cents
+FROM customer
+WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > (SELECT thr FROM avgbal)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
