@@ -1504,11 +1504,7 @@ def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
             nation.loc[nation["n_regionkey"] == eu, "n_name"],
         )
     )
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
-    euro_ref, supp_ref = ray.put(euro_names), ray.put(supp_nation)
+    euro_ref = ray.put(euro_names)  # ontology-bounded (≤ nations)
 
     # orders side: (o_orderkey, c_nationkey) for European customers
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
@@ -1528,12 +1524,28 @@ def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         est_bytes=input_bytes(f"{sf_dir}/customer.parquet"),
     ).select_columns(["o_orderkey", "c_nationkey"])
 
-    # lineitem side: revenue cents pre-aggregated per (orderkey, s_nation)
+    # lineitem side: supplier nation attaches via the size-gated join
+    # (supplier is a SCALING fact table in TPC-H — a driver dict would
+    # not survive SF=100k; broadcast="auto" broadcasts it only while
+    # it measures small, else co-shuffles), then revenue cents are
+    # pre-aggregated per (orderkey, s_nation)
+    li_with_nation = bucketed_join(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        key="l_suppkey",
+        right_key="s_suppkey",
+        how="inner",
+        right_cols={"s_nationkey": "s_nationkey"},
+        est_bytes=input_bytes(f"{sf_dir}/supplier.parquet"),
+    )
+
     def li_partial(batch: pa.Table) -> pa.Table:
-        sn = ray.get(supp_ref)
         euro = set(ray.get(euro_ref))
         df = batch.to_pandas()
-        df["s_nationkey"] = df["l_suppkey"].map(sn)
         df = df[df["s_nationkey"].isin(euro)]
         rev = df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
         g = (
@@ -1556,9 +1568,7 @@ def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    li = _read(
-        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
-    ).map_batches(li_partial, batch_format="pyarrow")
+    li = li_with_nation.map_batches(li_partial, batch_format="pyarrow")
 
     joined = bucketed_join(
         li,
