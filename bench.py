@@ -263,6 +263,9 @@ def run_queries(num_cpus: int) -> dict:
         "corpus_diff",
         "knn_graph",
         "event_transitions",
+        "local_supplier_volume",
+        "customer_order_distribution",
+        "rich_inactive_customers",
     ]
     q = all_queries()
     times = {}
