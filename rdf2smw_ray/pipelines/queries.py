@@ -2189,6 +2189,7 @@ def all_queries():
         "order_value_rank": ranking.order_value_rank,
         "order_rank_in_priority": ranking.order_rank_in_priority,
         "quantity_dense_rank": ranking.quantity_dense_rank,
+        "value_gini": ranking.value_gini,
         "nation_accounts": relational.nation_accounts,
         "trimmed_mean_value_per_event_type": relational.trimmed_mean_value_per_event_type,
         "local_supplier_volume": relational.local_supplier_volume,
@@ -2401,6 +2402,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "order_value_rank": ranking.ORDER_VALUE_RANK_SQL,
         "order_rank_in_priority": ranking.ORDER_RANK_IN_PRIORITY_SQL,
         "quantity_dense_rank": ranking.QUANTITY_DENSE_RANK_SQL,
+        "value_gini": ranking.VALUE_GINI_SQL,
         "nation_accounts": relational.NATION_ACCOUNTS_SQL,
         "trimmed_mean_value_per_event_type": relational.TRIMMED_MEAN_SQL,
         "local_supplier_volume": relational.LOCAL_SUPPLIER_VOLUME_SQL,

@@ -382,3 +382,87 @@ SELECT DISTINCT l_returnflag, ROUND(l_quantity, 2) AS l_quantity,
          AS dense_rank
 FROM lineitem ORDER BY 1, 2
 """
+
+
+def value_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini concentration of event value — the corpus-inequality
+    metric (how concentrated is activity/value across events). Needs
+    every row's GLOBAL rank in value order; computed with the same
+    range-partition + prefix-scan shape as :func:`global_rank` but
+    reduced IN PLACE: each bucket contributes Σ local_rank·cents,
+    Σ cents and n, and the bucket's global offset enters as
+    offset·Σcents on the driver — one scan, O(num_buckets) driver
+    state, all arithmetic in exact BIGINTs (cents × ranks), so the
+    final Gini is a single deterministic float division."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    from rdf2smw_ray.pipelines.relational import _read
+    from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"]).materialize()
+    num_buckets = auto_buckets(dataset_est_bytes(ds))
+    mm = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    width = (hi - lo) / num_buckets or 1.0
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, num_buckets - 1)
+        return batch.append_column("__bucket", pa.array(b.astype(np.int32), pa.int32()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["value", "event_id"], kind="mergesort")
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        local = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "__bucket": pa.array(
+                    [int(df["__bucket"].iat[0])], pa.int64()
+                ),
+                "n": pa.array([len(df)], pa.int64()),
+                "sum_cents": pa.array([int(cents.sum())], pa.int64()),
+                "sum_rank_cents": pa.array([int((local * cents).sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        bucketed.groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("__bucket")
+    )
+    offs = np.concatenate(([0], parts["n"].to_numpy()[:-1].cumsum()))
+    n = int(parts["n"].sum())
+    s = int(parts["sum_cents"].sum())
+    src = int(parts["sum_rank_cents"].sum() + (offs * parts["sum_cents"].to_numpy()).sum())
+    gini = (2.0 * src) / (n * s) - (n + 1.0) / n if n and s else 0.0
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "sum_cents": pd.Series([s], dtype="int64"),
+            "sum_rank_cents": pd.Series([src], dtype="int64"),
+            "gini": [round(gini, 6)],
+        }
+    )
+
+
+VALUE_GINI_SQL = """
+WITH r AS (
+  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+  FROM events
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         CAST(SUM(rn * cents) AS BIGINT) AS sum_rank_cents
+  FROM r
+)
+SELECT n, sum_cents, sum_rank_cents,
+       ROUND(2.0 * sum_rank_cents / (n * sum_cents) - (n + 1.0) / n, 6)
+         AS gini
+FROM a
+"""
