@@ -2267,6 +2267,7 @@ def all_queries():
         "rolling_value_sum": windows.rolling_value_sum,
         "user_state_intervals": windows.user_state_intervals,
         "event_transitions": windows.event_transitions,
+        "running_user_max": windows.running_user_max,
         "cohort_retention": windows.cohort_retention,
         "zscore_value_per_event_type": relational.zscore_value_per_event_type,
         "latest_event_per_user": windows.latest_event_per_user,
@@ -2425,6 +2426,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "rolling_value_sum": windows.ROLLING_VALUE_SUM_SQL,
         "user_state_intervals": windows.USER_STATE_INTERVALS_SQL,
         "event_transitions": windows.EVENT_TRANSITIONS_SQL,
+        "running_user_max": windows.RUNNING_USER_MAX_SQL,
         "cohort_retention": windows.COHORT_RETENTION_SQL,
         "zscore_value_per_event_type": relational.ZSCORE_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,

@@ -1054,3 +1054,46 @@ SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM x WHERE prev_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def running_user_max(sf_dir: str) -> pd.DataFrame:
+    """Running per-user MAXIMUM of value in event-time order — the
+    cumulative-extreme window (MAX OVER PARTITION ... ROWS UNBOUNDED
+    PRECEDING), the monotone sibling of running_user_total. Values
+    move as integer cents so the comparison chain is exact; the kernel
+    is one seam-reset ``np.maximum.accumulate`` per bucket."""
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        users = df["user_id"].to_numpy()
+        starts = np.ones(len(df), dtype=bool)
+        starts[1:] = users[1:] != users[:-1]
+        # segmented cumulative max: offset each user's run so the
+        # accumulate can never leak across the seam, then remove it
+        seg = np.cumsum(starts) - 1
+        base = seg * (int(cents.max(initial=0)) - int(cents.min(initial=0)) + 1)
+        run = np.maximum.accumulate(cents + base) - base
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "running_max_cents": pa.array(run, pa.int64()),
+            }
+        )
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "value"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+RUNNING_USER_MAX_SQL = """
+SELECT event_id,
+       CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_max_cents
+FROM events ORDER BY event_id
+"""
