@@ -19,7 +19,7 @@ import pyarrow as pa
 from rdf2smw_ray.util import table_from_pandas
 import pyarrow.parquet as pq
 
-from rdf2smw_ray.pipelines import diff, dq, fuzzy, packing, ranking, relational, spans, windows
+from rdf2smw_ray.pipelines import diff, dq, fuzzy, packing, ranking, relational, report, spans, windows
 from rdf2smw_ray.pipelines.ann import (
     KNN_GRAPH_SQL,
     LABEL_CENTROID_NORM_SQL,
@@ -2234,6 +2234,7 @@ def all_queries():
         "decontaminate_dist": q_decontaminate_dist,
         "dup_ngram_stats": q_dup_ngram_stats,
         "corpus_diff": diff.corpus_diff_query,
+        "corpus_report": report.corpus_report,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         # dedup
@@ -2372,6 +2373,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "decontaminate_dist": DECONTAMINATE_SQL,
         "dup_ngram_stats": spans.DUP_NGRAM_STATS_SQL,
         "corpus_diff": diff.CORPUS_DIFF_SQL,
+        "corpus_report": report.corpus_report_sql(QUALITY_FILTER_SQL),
         "lang_id": LANG_ID_SQL,
         # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,
         # embedding_near_dup: blake2b/seeded-plane-derived → rows-only;
