@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+
 _CACHE: dict = {}
 
 
@@ -43,10 +45,15 @@ def cached_table(sf_dir: str, table: str, columns=None):
 
     path = f"{sf_dir}/{table}.parquet"
     if os.environ.get("GRAFT_NO_TABLE_CACHE") or not ray.is_initialized():
+        schema = _clean_schema(path)
+        if columns:
+            # the declared schema must match the projection, or the
+            # read emits full-schema empty blocks beside projected ones
+            schema = pa.schema([schema.field(c) for c in columns])
         return rd.read_parquet(
             path,
             columns=list(columns) if columns else None,
-            schema=_clean_schema(path),
+            schema=schema,
         )
     job = ray.get_runtime_context().get_job_id()
     key = (job, path)
