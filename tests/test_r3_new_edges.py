@@ -120,3 +120,15 @@ def test_knn_graph_auto_tiles_vs_brute(ray_session):
         order = np.lexsort((np.arange(n), -s6))[:k]
         got = out[out["vec_id"] == i].sort_values("rk")["nbr_id"].tolist()
         assert got == list(order)
+
+
+def test_uncached_read_with_projection(ray_session, monkeypatch):
+    """GRAFT_NO_TABLE_CACHE + a column subset must project the declared
+    schema too (full schema beside projected blocks -> ArrowInvalid)."""
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+
+    monkeypatch.setenv("GRAFT_NO_TABLE_CACHE", "1")
+    ds = cached_table("/root/testdata/sf0.001", "events", ["event_type", "value"])
+    df = ds.to_pandas()
+    assert list(df.columns) == ["event_type", "value"]
+    assert len(df) == 1000
