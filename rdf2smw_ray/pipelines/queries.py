@@ -2193,6 +2193,7 @@ def all_queries():
         "nation_accounts": relational.nation_accounts,
         "trimmed_mean_value_per_event_type": relational.trimmed_mean_value_per_event_type,
         "local_supplier_volume": relational.local_supplier_volume,
+        "nation_pair_volume": relational.nation_pair_volume,
         "customer_order_distribution": relational.customer_order_distribution,
         "rich_inactive_customers": relational.rich_inactive_customers,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
@@ -2409,6 +2410,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "nation_accounts": relational.NATION_ACCOUNTS_SQL,
         "trimmed_mean_value_per_event_type": relational.TRIMMED_MEAN_SQL,
         "local_supplier_volume": relational.LOCAL_SUPPLIER_VOLUME_SQL,
+        "nation_pair_volume": relational.NATION_PAIR_VOLUME_SQL,
         "customer_order_distribution": relational.CUSTOMER_ORDER_DIST_SQL,
         "rich_inactive_customers": relational.RICH_INACTIVE_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,

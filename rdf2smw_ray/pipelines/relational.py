@@ -1798,3 +1798,114 @@ WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > (SELECT thr FROM avgbal)
                         WHERE o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+def nation_pair_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: trade volume between DIFFERENT nations — the
+    two-sided dimension attach (supplier nation via the size-gated
+    join, customer nation through the orders join) grouped by the
+    (supp_nation, cust_nation) PAIR. Same single fact-fact co-shuffle
+    as Q5; only pre-reduced key+payload columns move."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    orders_side = bucketed_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        key="o_custkey",
+        right_key="c_custkey",
+        how="inner",
+        right_cols={"c_nationkey": "c_nationkey"},
+        est_bytes=input_bytes(f"{sf_dir}/customer.parquet"),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = bucketed_join(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        key="l_suppkey",
+        right_key="s_suppkey",
+        how="inner",
+        right_cols={"s_nationkey": "s_nationkey"},
+        est_bytes=input_bytes(f"{sf_dir}/supplier.parquet"),
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rev = df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "s_nationkey": df["s_nationkey"].to_numpy().astype(np.int64),
+                    "rev": rev,
+                }
+            )
+            .groupby(["l_orderkey", "s_nationkey"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return table_from_pandas(g, preserve_index=False)
+
+    joined = bucketed_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders_side,
+        key="l_orderkey",
+        right_key="o_orderkey",
+        how="inner",
+        right_cols={"c_nationkey": "c_nationkey"},
+        est_bytes=input_bytes(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"),
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["s_nationkey"] != df["c_nationkey"]]
+        g = (
+            df.groupby(["s_nationkey", "c_nationkey"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return table_from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["s_nationkey", "c_nationkey"])
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    out["supp_nation"] = out["s_nationkey"].astype(int).map(names)
+    out["cust_nation"] = out["c_nationkey"].astype(int).map(names)
+    out["revenue"] = out["rev"].round(2)
+    return (
+        out[["supp_nation", "cust_nation", "revenue"]]
+        .sort_values(["supp_nation", "cust_nation"])
+        .reset_index(drop=True)
+    )
+
+
+NATION_PAIR_VOLUME_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE s_nationkey <> c_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
