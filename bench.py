@@ -266,6 +266,9 @@ def run_queries(num_cpus: int) -> dict:
         "local_supplier_volume",
         "customer_order_distribution",
         "rich_inactive_customers",
+        "nation_pair_volume",
+        "promo_revenue_ratio",
+        "value_gini",
     ]
     q = all_queries()
     times = {}

@@ -2194,6 +2194,7 @@ def all_queries():
         "trimmed_mean_value_per_event_type": relational.trimmed_mean_value_per_event_type,
         "local_supplier_volume": relational.local_supplier_volume,
         "nation_pair_volume": relational.nation_pair_volume,
+        "promo_revenue_ratio": relational.promo_revenue_ratio,
         "customer_order_distribution": relational.customer_order_distribution,
         "rich_inactive_customers": relational.rich_inactive_customers,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
@@ -2411,6 +2412,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "trimmed_mean_value_per_event_type": relational.TRIMMED_MEAN_SQL,
         "local_supplier_volume": relational.LOCAL_SUPPLIER_VOLUME_SQL,
         "nation_pair_volume": relational.NATION_PAIR_VOLUME_SQL,
+        "promo_revenue_ratio": relational.PROMO_REVENUE_SQL,
         "customer_order_distribution": relational.CUSTOMER_ORDER_DIST_SQL,
         "rich_inactive_customers": relational.RICH_INACTIVE_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,

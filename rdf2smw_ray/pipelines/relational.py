@@ -1909,3 +1909,60 @@ JOIN nation nc ON c_nationkey = nc.n_nationkey
 WHERE s_nationkey <> c_nationkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def promo_revenue_ratio(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: the share of revenue from one part category —
+    conditional aggregation over a fact ⋈ part join (size-gated: the
+    part side broadcasts while it measures small, co-shuffles at
+    TPC-H scale). Both engines sum doubles then divide once, so
+    ROUND(,6) is stable."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    li = bucketed_join(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_type"]),
+        key="l_partkey",
+        right_key="p_partkey",
+        how="inner",
+        right_cols={"p_type": "p_type"},
+        est_bytes=input_bytes(f"{sf_dir}/part.parquet"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rev = df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
+        promo = df["p_type"].astype(str).str.startswith("ECONOMY").to_numpy()
+        return pa.table(
+            {
+                "promo_rev": pa.array([float(rev[promo].sum())], pa.float64()),
+                "total_rev": pa.array([float(rev.sum())], pa.float64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_rev"), Sum("total_rev")
+    )
+    ratio = 100.0 * agg["sum(promo_rev)"] / agg["sum(total_rev)"]
+    return pd.DataFrame(
+        {
+            "promo_rev": [round(agg["sum(promo_rev)"], 2)],
+            "total_rev": [round(agg["sum(total_rev)"], 2)],
+            "promo_pct": [round(ratio, 6)],
+        }
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT ROUND(SUM(CASE WHEN p_type LIKE 'ECONOMY%'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+         AS promo_rev,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+       ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'ECONOMY%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
