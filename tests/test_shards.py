@@ -48,3 +48,19 @@ def test_prepare_training_shards_resume_and_equivalence(ray_session, tmp_path):
     assert res["manifest"]["rows"] == len(b)
     # contaminated + rejected docs are really gone
     assert len(b) < 500  # sf0.001 has 500 docs; filters must bite
+
+
+def test_prepare_training_shards_param_invalidation(ray_session, tmp_path):
+    paths = [f"{SF}/documents.parquet"]
+    first = prepare_training_shards(paths, str(tmp_path / "run"), cap=256)
+    assert not any(first["skipped"].values())
+    a = _shard_frame(first["shards"])  # capture BEFORE reruns overwrite the tree
+    # identical params: every stage skips
+    again = prepare_training_shards(paths, str(tmp_path / "run"), cap=256)
+    assert all(again["skipped"].values())
+    # changed packing cap: stage checkpoints invalidate, nothing skips
+    changed = prepare_training_shards(paths, str(tmp_path / "run"), cap=128)
+    assert not any(changed["skipped"].values())
+    c = _shard_frame(changed["shards"])
+    assert not a["seq_id"].equals(c["seq_id"])  # the cap really changed packing
+    assert set(a["doc_id"]) == set(c["doc_id"])  # same eligible corpus
