@@ -1741,6 +1741,50 @@ FROM c ORDER BY doc_id
 LANG_ID_SQL = _lang_id_sql()
 
 
+def q_lang_confusion(sf_dir: str):
+    """Classifier-evaluation at scale: the (declared lang × predicted
+    lang) confusion matrix — lang_id predictions joined back to the
+    stored label (size-gated join on doc_id), pre-counted per batch
+    before a tiny pair groupby."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    preds = lang_id(_docs(sf_dir, columns=["doc_id", "text"]), concurrency=2)
+    joined = bucketed_join(
+        preds,
+        _docs(sf_dir, columns=["doc_id", "lang"]),
+        key="doc_id",
+        right_cols={"lang": "lang_true"},
+    )
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["lang_true", "lang_pred"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return table_from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["lang_true", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang_true", "lang_pred"]).reset_index(drop=True)
+
+
+LANG_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL})
+SELECT d.lang AS lang_true, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_fingerprints(sf_dir: str):
     out = fingerprints(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -2238,6 +2282,7 @@ def all_queries():
         "corpus_diff": diff.corpus_diff_query,
         "corpus_report": report.corpus_report,
         "lang_id": q_lang_id,
+        "lang_confusion": q_lang_confusion,
         "fingerprints": q_fingerprints,
         # dedup
         "exact_dedup": q_exact_dedup,
@@ -2377,6 +2422,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "corpus_diff": diff.CORPUS_DIFF_SQL,
         "corpus_report": report.corpus_report_sql(QUALITY_FILTER_SQL),
         "lang_id": LANG_ID_SQL,
+        "lang_confusion": LANG_CONFUSION_SQL,
         # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,
         # embedding_near_dup: blake2b/seeded-plane-derived → rows-only;
         # value_quantiles, approx_distinct_users: approximate by design
