@@ -50,7 +50,10 @@ def dq_violations(sf_dir: str) -> pd.DataFrame:
         rules = {
             "null_custkey": int(cust.null_count),
             "nonpositive_price": int((price <= 0).sum()),
-            "bad_status": int((~status.isin(_ALLOWED_STATUS)).sum()),
+            # NULL status is NOT a violation: SQL's NOT IN yields NULL
+            # (not TRUE) for NULL, so the oracle never counts it —
+            # exclude nulls here so both engines agree by construction
+            "bad_status": int((~status.isin(_ALLOWED_STATUS) & status.notna()).sum()),
         }
         return pa.table(
             {

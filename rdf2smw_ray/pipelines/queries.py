@@ -114,26 +114,30 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
 
 
 def kg_cooccur(sf_dir: str):
-    """Adjacent gazetteer-term pairs per document (bigram graph edges)."""
+    """Adjacent gazetteer-term pairs per document (bigram graph edges).
+
+    Pairs are formed INSIDE the extractor (``emit="pairs"``), which
+    holds each whole document as one input row — a bigram can never
+    straddle an output block split, unlike the previous per-batch
+    ``shift(-1)`` over the mentions table (block-split-proof; see
+    ``tests/test_r4_fixes.py``)."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    mentions = ds.map_batches(
+    pairs = ds.map_batches(
         GazetteerMentionExtractor,
-        fn_constructor_kwargs={"terms": list(DEFAULT_GAZETTEER)},
+        fn_constructor_kwargs={"terms": list(DEFAULT_GAZETTEER), "emit": "pairs"},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
 
-    def pairs(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["term_b"] = df.groupby("doc_id")["term"].shift(-1)
-        df = df[df["term_b"].notna()].rename(columns={"term": "term_a"})
         g = df.groupby(["term_a", "term_b"], sort=False).size().rename("n").reset_index()
         return table_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
     out = (
-        mentions.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        pairs.map_batches(partial, batch_format="pyarrow")
         .groupby(["term_a", "term_b"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()

@@ -68,12 +68,35 @@ def global_rank(
         num_buckets = auto_buckets(dataset_est_bytes(ds))
 
     ds = ds.select_columns([id_col, value_col]).materialize()
+    if ds.count() == 0:
+        # Min/Max over an empty dataset return None; float(None) raises
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "rnk": pd.Series([], dtype="int64"),
+                "tile": pd.Series([], dtype="int64"),
+            }
+        )
     mm = ds.aggregate(Min(value_col), Max(value_col))
     lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        # inf min/max would poison every bucket id (Min/Max skip NaN,
+        # so NaN rows are caught per-batch in add_bucket below)
+        raise ValueError(
+            f"global_rank: {value_col} contains inf (min={lo}, max={hi}); "
+            "filter or impute before ranking"
+        )
     width = (hi - lo) / num_buckets or 1.0
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            # NaN casts to INT64_MIN and lands silently in bucket 0,
+            # corrupting the global order — refuse instead
+            raise ValueError(
+                f"global_rank: {value_col} contains NaN; "
+                "filter or impute before ranking"
+            )
         b = np.clip(((v - lo) / width).astype(np.int64), 0, num_buckets - 1)
         return batch.append_column("__bucket", pa.array(b.astype(np.int32), pa.int32()))
 
@@ -156,6 +179,12 @@ def dense_rank_strings(ds, *, column: str, num_buckets: int | None = None,
 
     ds = ds.select_columns([column]).materialize()
     n = ds.count()
+    if n == 0:
+        import ray as _ray
+
+        return _ray.data.from_arrow(
+            pa.table({column: pa.array([], pa.string()), "id": pa.array([], pa.int64())})
+        )
     if num_buckets is None:
         num_buckets = auto_buckets(dataset_est_bytes(ds))
     rate = min(1.0, sample_target / max(n, 1))
@@ -261,7 +290,13 @@ def grouped_rank(
         kw = keys.map(w_m).to_numpy(dtype=np.float64)
         b = np.clip(((v - kl) / kw).astype(np.int64), 0, num_buckets - 1)
         # \x1f composes the (key, bucket) id — keys must not contain it
-        assert not keys.str.contains("\x1f").any(), "key contains \\x1f separator"
+        # (explicit raise, not assert: python -O strips asserts and a
+        # \x1f in a key would silently corrupt the composite id)
+        if keys.str.contains("\x1f").any():
+            raise ValueError(
+                f"grouped_rank: {key_col} contains the \\x1f separator; "
+                "composite (key, bucket) ids would be ambiguous"
+            )
         comp = keys.astype(str) + "\x1f" + pd.Series(b).astype(str)
         return batch.append_column("__kb", pa.array(comp.to_numpy(), pa.string()))
 
@@ -401,6 +436,15 @@ def value_gini(sf_dir: str) -> pd.DataFrame:
     from rdf2smw_ray.tuning import auto_buckets, dataset_est_bytes
 
     ds = _read(sf_dir, "events", columns=["event_id", "value"]).materialize()
+    if ds.count() == 0:
+        return pd.DataFrame(
+            {
+                "n": pd.Series([0], dtype="int64"),
+                "sum_cents": pd.Series([0], dtype="int64"),
+                "sum_rank_cents": pd.Series([0], dtype="int64"),
+                "gini": [0.0],
+            }
+        )
     num_buckets = auto_buckets(dataset_est_bytes(ds))
     mm = ds.aggregate(Min("value"), Max("value"))
     lo, hi = float(mm["min(value)"]), float(mm["max(value)"])

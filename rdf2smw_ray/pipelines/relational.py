@@ -1026,14 +1026,19 @@ def shipping_priority(
     )
 
     def li_partial(batch: pa.Table) -> pa.Table:
+        # exact int64 revenue units (cents x (100-disc_pct)): 35/1180
+        # sf0.01 order groups sum to exactly .5 cents, where a float
+        # sum's rounding is addition-order- and rounding-mode-dependent
         t = batch.filter(pc.greater(batch["l_shipdate"], cut))
         df = t.to_pandas()
-        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["rev"] = cents * (100 - pct)
         g = df.groupby("l_orderkey", sort=False)["rev"].sum()
         return pa.table(
             {
                 "l_orderkey": pa.array(g.index.to_numpy(), pa.int64()),
-                "rev": pa.array(g.to_numpy(), pa.float64()),
+                "rev": pa.array(g.to_numpy(), pa.int64()),
             }
         )
 
@@ -1057,7 +1062,8 @@ def shipping_priority(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["revenue"] = df["rev"].round(2)
+        # exact units -> half-up to cents -> ONE float division
+        df["revenue"] = ((df["rev"].astype("int64") + 50) // 100) / 100.0
         df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
         return table_from_pandas(df.drop(columns=["rev"]), preserve_index=False)
 
@@ -1077,7 +1083,9 @@ def shipping_priority(
 SHIPPING_PRIORITY_SQL = """
 SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
   SELECT l_orderkey AS o_orderkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         ((SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100)
+           / 100.0 AS revenue,
          strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
          o_orderpriority
   FROM customer JOIN orders ON c_custkey = o_custkey
@@ -1805,7 +1813,17 @@ def nation_pair_volume(sf_dir: str) -> pd.DataFrame:
     two-sided dimension attach (supplier nation via the size-gated
     join, customer nation through the orders join) grouped by the
     (supp_nation, cust_nation) PAIR. Same single fact-fact co-shuffle
-    as Q5; only pre-reduced key+payload columns move."""
+    as Q5; only pre-reduced key+payload columns move.
+
+    Revenue is exact: TPC-H prices and discounts are 2-decimal, so
+    ``round(ep*100) * (100 - round(disc*100))`` is an int64 in 1e-4
+    dollars, summed exactly (no float partial-sum order sensitivity —
+    12/600 sf0.01 groups sit ON a .5-cent boundary, which flipped
+    ``ROUND(,2)`` between engines when this was a float sum), then
+    rounded half-up to cents in integer arithmetic and divided once.
+    Overflow bound: max per-row units ~1.1e9; int64 holds ~8e9 rows
+    per group at max price — ~24x headroom over TPC-H SF100k's
+    ~1e9-row pair groups."""
     import ray
 
     import pyarrow.parquet as pq
@@ -1846,13 +1864,14 @@ def nation_pair_volume(sf_dir: str) -> pd.DataFrame:
 
     def li_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        rev = df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
         g = (
             pd.DataFrame(
                 {
                     "l_orderkey": df["l_orderkey"].to_numpy(),
                     "s_nationkey": df["s_nationkey"].to_numpy().astype(np.int64),
-                    "rev": rev,
+                    "rev": cents * (100 - pct),
                 }
             )
             .groupby(["l_orderkey", "s_nationkey"], sort=False)["rev"]
@@ -1889,7 +1908,10 @@ def nation_pair_volume(sf_dir: str) -> pd.DataFrame:
     )
     out["supp_nation"] = out["s_nationkey"].astype(int).map(names)
     out["cust_nation"] = out["c_nationkey"].astype(int).map(names)
-    out["revenue"] = out["rev"].round(2)
+    # exact int64 units -> half-up to cents -> ONE float division
+    out["revenue"] = (
+        (out["rev"].astype("int64") + 50) // 100
+    ) / 100.0
     return (
         out[["supp_nation", "cust_nation", "revenue"]]
         .sort_values(["supp_nation", "cust_nation"])
@@ -1899,7 +1921,9 @@ def nation_pair_volume(sf_dir: str) -> pd.DataFrame:
 
 NATION_PAIR_VOLUME_SQL = """
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ((SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100)
+         / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

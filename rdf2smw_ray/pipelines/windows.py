@@ -1056,6 +1056,31 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _segmented_running_max(cents: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Running max within segments (``starts`` marks segment heads).
+
+    Fast path offsets each segment by ``seg * range`` so ONE
+    ``np.maximum.accumulate`` covers every segment without leaking
+    across seams. ``n_segments * range`` can overflow int64 (very many
+    segments x a wide cents range) — then fall back to per-segment
+    accumulation (the clicks_before_purchase_window overflow-regime
+    pattern), correct at any scale."""
+    if len(cents) == 0:
+        return cents
+    seg = np.cumsum(starts) - 1
+    cmax = int(cents.max())
+    rng = cmax - int(cents.min()) + 1
+    n_seg = int(seg[-1]) + 1
+    if (n_seg - 1) <= ((2**63 - 1) - max(cmax, 0)) // rng:
+        base = seg * rng
+        return np.maximum.accumulate(cents + base) - base
+    run = np.empty_like(cents)
+    starts_idx = np.flatnonzero(starts)
+    for s, e in zip(starts_idx, np.append(starts_idx[1:], len(cents))):
+        run[s:e] = np.maximum.accumulate(cents[s:e])
+    return run
+
+
 def running_user_max(sf_dir: str) -> pd.DataFrame:
     """Running per-user MAXIMUM of value in event-time order — the
     cumulative-extreme window (MAX OVER PARTITION ... ROWS UNBOUNDED
@@ -1069,11 +1094,7 @@ def running_user_max(sf_dir: str) -> pd.DataFrame:
         users = df["user_id"].to_numpy()
         starts = np.ones(len(df), dtype=bool)
         starts[1:] = users[1:] != users[:-1]
-        # segmented cumulative max: offset each user's run so the
-        # accumulate can never leak across the seam, then remove it
-        seg = np.cumsum(starts) - 1
-        base = seg * (int(cents.max(initial=0)) - int(cents.min(initial=0)) + 1)
-        run = np.maximum.accumulate(cents + base) - base
+        run = _segmented_running_max(cents, starts)
         return pa.table(
             {
                 "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),

@@ -296,9 +296,23 @@ class GazetteerMentionExtractor:
     once), or pass ``terms`` directly for tests. Emits one row per
     mention occurrence: (doc_uri, kg:mentions, term) — term kept as a
     literal so SQL oracles can compare directly.
+
+    ``emit="pairs"`` emits ADJACENT mention bigrams (doc_id, term_a,
+    term_b) instead — formed HERE, while the whole document's text is
+    one input row, so a bigram can never straddle an output block
+    boundary (pairing downstream with a per-batch ``shift(-1)`` loses
+    the cross-block pair whenever Ray splits the mentions table on
+    ``target_max_block_size``).
     """
 
-    def __init__(self, gazetteer_ref=None, terms=None, id_column="doc_id", text_column="text"):
+    def __init__(
+        self,
+        gazetteer_ref=None,
+        terms=None,
+        id_column="doc_id",
+        text_column="text",
+        emit="mentions",
+    ):
         if terms is None:
             import ray
 
@@ -307,6 +321,9 @@ class GazetteerMentionExtractor:
         self.pattern = re.compile(r"\b(" + "|".join(map(re.escape, self.terms)) + r")\b")
         self.id_column = id_column
         self.text_column = text_column
+        if emit not in ("mentions", "pairs"):
+            raise ValueError(f"emit must be 'mentions' or 'pairs', got {emit!r}")
+        self.emit = emit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Vectorized: one C-regex ``findall`` per batch; occurrence
@@ -317,11 +334,30 @@ class GazetteerMentionExtractor:
         texts = pd.Series(batch[self.text_column].to_pylist(), dtype=object).fillna("")
         hits = texts.str.findall(self.pattern)
         counts = hits.map(len).to_numpy()
-        flat = [t for doc_hits in hits for t in doc_hits]
+        flat = np.array([t for doc_hits in hits for t in doc_hits], dtype=object)
+        if self.emit == "mentions":
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                    "term": pa.array(flat, pa.string()),
+                }
+            )
+        # adjacent pairs within each doc: drop the LAST mention of
+        # every doc from side a and the FIRST from side b — the two
+        # masked views align into (m_i, m_{i+1}) pairs per doc
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        mask_a = np.ones(len(flat), dtype=bool)
+        last_idx = ends[counts > 0] - 1
+        mask_a[last_idx] = False
+        mask_b = np.ones(len(flat), dtype=bool)
+        mask_b[starts[counts > 0]] = False
+        pair_counts = np.maximum(counts - 1, 0)
         return pa.table(
             {
-                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
-                "term": pa.array(np.array(flat, dtype=object), pa.string()),
+                "doc_id": pa.array(np.repeat(ids, pair_counts), pa.int64()),
+                "term_a": pa.array(flat[mask_a], pa.string()),
+                "term_b": pa.array(flat[mask_b], pa.string()),
             }
         )
 

@@ -375,14 +375,22 @@ def write_partitioned(ds, out_dir: str, *, partition_cols: list[str]) -> dict:
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)
+    # derive partitions from the dataset's FILES so nested hive
+    # layouts (len(partition_cols) > 1) list every leaf partition —
+    # a top-level listdir would record only the first level, breaking
+    # the resume-skip contract for multi-column layouts
+    hive = pads.dataset(out_dir, partitioning="hive")
     parts = sorted(
-        d for d in os.listdir(out_dir)
-        if "=" in d and os.path.isdir(os.path.join(out_dir, d))
+        {
+            os.path.relpath(os.path.dirname(f), out_dir)
+            for f in hive.files
+            if "=" in os.path.relpath(os.path.dirname(f), out_dir)
+        }
     )
     manifest = {
         "partition_cols": partition_cols,
         "partitions": parts,
-        "rows": pads.dataset(out_dir, partitioning="hive").count_rows(),
+        "rows": hive.count_rows(),
     }
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, sort_keys=True)
