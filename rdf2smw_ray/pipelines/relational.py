@@ -1530,7 +1530,8 @@ def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         how="inner",
         right_cols={"c_nationkey": "c_nationkey"},
         est_bytes=input_bytes(f"{sf_dir}/customer.parquet"),
-    ).select_columns(["o_orderkey", "c_nationkey"])
+        select=["o_orderkey", "c_nationkey"],
+    )
 
     # lineitem side: supplier nation attaches via the size-gated join
     # (supplier is a SCALING fact table in TPC-H — a driver dict would
@@ -1846,7 +1847,8 @@ def nation_pair_volume(sf_dir: str) -> pd.DataFrame:
         how="inner",
         right_cols={"c_nationkey": "c_nationkey"},
         est_bytes=input_bytes(f"{sf_dir}/customer.parquet"),
-    ).select_columns(["o_orderkey", "c_nationkey"])
+        select=["o_orderkey", "c_nationkey"],
+    )
 
     li = bucketed_join(
         _read(

@@ -165,8 +165,18 @@ def bucketed_join(
     est_bytes: int | None = None,
     multiplicity: str = "lookup",
     broadcast: str = "auto",
+    select: list[str] | None = None,
 ):
     """Join two Datasets on an equi-key.
+
+    ``select``: optional output projection (subset of left columns +
+    joined ``right_cols`` destinations, in the given order) applied
+    INSIDE the join's output builder. Prefer this over a downstream
+    ``.select_columns(...)``: Ray 2.49's projection pushdown skips the
+    join's schema-pinning union branch, leaking one unprojected empty
+    block through the select (schema-divergence warnings downstream);
+    projecting here keeps every output block on one declared schema —
+    and drops dead columns one stage earlier.
 
     ``how``: ``inner`` / ``left`` / ``right`` / ``outer`` append
     ``right_cols`` (src → dst mapping; defaults to every non-key right
@@ -227,15 +237,33 @@ def bucketed_join(
     out_fields = [(n, t) for n, t in left_types.items()]
     if not keys_only:
         out_fields += [(dst, right_types[src]) for src, dst in payload.items()]
+    if select is not None:
+        known = dict(out_fields)
+        missing = [c for c in select if c not in known]
+        if missing:
+            raise ValueError(
+                f"bucketed_join: select columns {missing} not in join "
+                f"output {list(known)}"
+            )
+        out_fields = [(c, known[c]) for c in select]
     out_schema = pa.schema(out_fields)
 
     def _schema_stable(ds):
         # an all-empty result otherwise reports schema None (blocks
         # without columns), breaking any downstream bucketed_join /
-        # select; one typed empty block pins the declared out_schema
+        # select; one typed empty block pins the declared out_schema.
+        # The block is produced INSIDE a map_batches: a bare
+        # from_arrow(InputDataBuffer) union branch escapes Ray 2.49's
+        # projection pushdown, leaking one unprojected block through
+        # every later select_columns (schema-divergence warnings all
+        # the way down the pipeline).
         import ray.data as rd
 
-        return ds.union(rd.from_arrow(out_schema.empty_table()))
+        def _pin(_batch: pa.Table) -> pa.Table:
+            return out_schema.empty_table()
+
+        empty = rd.from_items([0]).map_batches(_pin, batch_format="pyarrow")
+        return ds.union(empty)
 
     def _typed(df: pd.DataFrame) -> pa.Table:
         # a column in out_fields may be absent from the actual batch:

@@ -308,3 +308,46 @@ def test_write_partitioned_multicol_manifest(ray_session, tmp_path):
         "lang=en/shard=0",
         "lang=en/shard=1",
     ]
+
+
+# ---------------------------------------------------------------------------
+# bucketed_join in-join projection (select=): schema-stable output
+# ---------------------------------------------------------------------------
+def test_bucketed_join_select_projection(ray_session):
+    import ray
+    import ray.data as rd
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "a": pa.array([10, 20, 30, 40], pa.int64()),
+                "b": pa.array(["w", "x", "y", "z"], pa.string()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([1, 2, 3], pa.int64()),
+                "p": pa.array([100, 200, 300], pa.int64()),
+            }
+        )
+    )
+    out = bucketed_join(
+        left, right, key="k", right_key="rk", how="inner",
+        right_cols={"p": "p"}, select=["k", "p"],
+    )
+    blocks = ray.get(out.materialize().to_arrow_refs())
+    # EVERY block (including the schema-pinning empty) is projected
+    assert {tuple(b.column_names) for b in blocks} == {("k", "p")}
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["p"].tolist() == [100, 200, 300]
+
+    with pytest.raises(ValueError, match="select"):
+        bucketed_join(
+            left, right, key="k", right_key="rk", how="inner",
+            right_cols={"p": "p"}, select=["k", "nope"],
+        )
