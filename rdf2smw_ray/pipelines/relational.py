@@ -1398,16 +1398,18 @@ def trimmed_mean_value_per_event_type(sf_dir: str) -> pd.DataFrame:
     cross-engine-deterministic (no float sum-order hazard)."""
     import ray
 
-    from rdf2smw_ray.pipelines.sketches import exact_percentile_per_key
+    from rdf2smw_ray.pipelines.sketches import exact_percentiles_per_key
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    lo = exact_percentile_per_key(
-        ds, "event_type", "value", num=1, den=10, out_col="lo", exact_threshold=120
-    )
-    hi = exact_percentile_per_key(
-        ds, "event_type", "value", num=9, den=10, out_col="hi", exact_threshold=120
-    )
-    bounds = lo.merge(hi, on="event_type")  # one row per key — driver-bounded
+    # p10 AND p90 refined in ONE shared histogram drive (r3 VERDICT:
+    # two separate percentile drives doubled the scan count)
+    bounds = exact_percentiles_per_key(
+        ds,
+        "event_type",
+        "value",
+        [(1, 10, "lo"), (9, 10, "hi")],
+        exact_threshold=120,
+    )  # one row per key — driver-bounded
     ref = ray.put(
         {
             r.event_type: (float(r.lo), float(r.hi))

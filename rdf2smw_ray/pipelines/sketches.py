@@ -201,26 +201,32 @@ def approx_quantiles(
 # the per-round shuffle carries ≤ keys × num_bins partial rows. For
 # unbounded key cardinality use approx_quantiles per key instead.
 # ---------------------------------------------------------------------------
-def exact_median_per_key(
+def exact_ranks_per_key(
     ds,
     key: str,
     column: str,
     *,
+    targets_fn,
     num_bins: int = 1024,
     exact_threshold: int = 100_000,
     max_rounds: int = 8,
-    ranks_fn=None,
-    out_col: str = "median",
 ):
-    """Exact per-key median of ``column``; returns a pandas DataFrame
-    (key, median) sorted by key. Even counts average the two middle
-    order statistics; NaN/null values are ignored (SQL MEDIAN
-    semantics).
+    """Exact order statistics per key, MULTIPLE targets per shared
+    histogram sweep.
 
-    ``ranks_fn(n) -> (r1, r2)`` overrides the two 1-based target order
-    statistics (defaults to the median pair); the result column is the
-    average of the two — pass r1 == r2 for a single exact order
-    statistic (PERCENTILE_DISC). ``out_col`` names the result."""
+    ``targets_fn(n) -> [(r1, r2, out_col), ...]`` gives, for a key with
+    n non-null rows, the 1-based target rank pairs; each result column
+    is the average of its pair (pass r1 == r2 for PERCENTILE_DISC).
+    Every refinement round runs ONE scan of the table and bins rows
+    into every still-active target's value range — k targets cost the
+    same number of scans as one (the r3 VERDICT's trimmed-mean
+    headroom: p10 + p90 used to be two full refinement drives).
+
+    Returns a wide pandas DataFrame (key, *out_cols) sorted by key.
+    Driver state is O(keys x targets); no task ever holds more than
+    max(batch, num_bins, exact_threshold) rows of one (key, target)."""
+    import functools
+
     import pandas as pd
     import ray
 
@@ -249,79 +255,96 @@ def exact_median_per_key(
         )
         .to_pandas()
     )
+    out_cols: list[str] = [c for _, _, c in targets_fn(1)]
     if stats.empty:
-        return pd.DataFrame({key: pd.Series([], dtype=object), out_col: []})
+        return pd.DataFrame(
+            {key: pd.Series([], dtype=object), **{c: [] for c in out_cols}}
+        )
 
-    # per-key refinement state: value range [lo, hi] (inclusive, actual
-    # data values), base = #values strictly below the range, the two
-    # 1-based global target ranks, and rows remaining in range
+    # per-(key, target) refinement state: value range [lo, hi]
+    # (inclusive, actual data values), base = #values strictly below
+    # the range, the two 1-based global target ranks, rows in range
     state: dict = {}
     done: dict = {}
     for _, r in stats.iterrows():
         n = int(r["cnt"])
         lo, hi = float(r["mn"]), float(r["mx"])
-        r1, r2 = ranks_fn(n) if ranks_fn else ((n + 1) // 2, (n + 2) // 2)
-        if lo == hi:
-            done[r[key]] = lo
-        else:
-            state[r[key]] = dict(lo=lo, hi=hi, base=0, r1=r1, r2=r2, n_in=n)
+        for r1, r2, col in targets_fn(n):
+            if lo == hi:
+                done[(r[key], col)] = lo
+            else:
+                state[(r[key], col)] = dict(
+                    lo=lo, hi=hi, base=0, r1=r1, r2=r2, n_in=n
+                )
+
+    def _empty_hist(batch: pa.Table) -> pa.Table:
+        # Arrow-typed empty partial: an object-dtype pandas empty would
+        # arrive as Arrow `null` columns and diverge the stage schema
+        return pa.table(
+            {
+                key: pa.array([], batch.schema.field(key).type),
+                "__tgt": pa.array([], pa.string()),
+                "bin": pa.array([], pa.int32()),
+                "cnt": pa.array([], pa.int64()),
+                "vmin": pa.array([], pa.float64()),
+                "vmax": pa.array([], pa.float64()),
+            }
+        )
 
     def hist_partial(batch: pa.Table, ranges_ref) -> pa.Table:
-        ranges = ray.get(ranges_ref)
+        # ranges_by_tgt: {out_col: {key_value: (lo, hi)}} — one binning
+        # pass per target over the SAME in-memory batch (the expensive
+        # part, the table scan, is shared)
+        ranges_by_tgt = ray.get(ranges_ref)
         df = batch.to_pandas()
-        v = pd.to_numeric(df[column], errors="coerce").to_numpy(dtype=np.float64)
-        k_arr = df[key]
-        lo = k_arr.map(lambda x: ranges.get(x, (np.nan, np.nan))[0]).to_numpy(
+        v_all = pd.to_numeric(df[column], errors="coerce").to_numpy(
             dtype=np.float64
         )
-        hi = k_arr.map(lambda x: ranges.get(x, (np.nan, np.nan))[1]).to_numpy(
-            dtype=np.float64
-        )
-        keep = ~np.isnan(v) & ~np.isnan(lo) & (v >= lo) & (v <= hi)
-        if not keep.any():
-            # typed empty partial (key dtype preserved via iloc[:0])
-            g = pd.DataFrame(
-                {
-                    key: k_arr.iloc[:0],
-                    "bin": pd.Series([], dtype="int32"),
-                    "cnt": pd.Series([], dtype="int64"),
-                    "vmin": pd.Series([], dtype="float64"),
-                    "vmax": pd.Series([], dtype="float64"),
-                }
+        k_all = df[key]
+        outs = []
+        for tgt, ranges in ranges_by_tgt.items():
+            lo = k_all.map(lambda x: ranges.get(x, (np.nan, np.nan))[0]).to_numpy(
+                dtype=np.float64
             )
-            return table_from_pandas(g)
-        v, lo, hi, k_arr = v[keep], lo[keep], hi[keep], k_arr[keep]
-        w = (hi - lo) / num_bins
-        idx = np.minimum(
-            ((v - lo) / w).astype(np.int64), num_bins - 1
-        ).astype(np.int32)
-        g = (
-            pd.DataFrame({key: k_arr.to_numpy(), "bin": idx, "v": v})
-            .groupby([key, "bin"], sort=False)["v"]
-            .agg(cnt="count", vmin="min", vmax="max")
-            .reset_index()
-        )
-        return table_from_pandas(g)
-
-    import functools
+            hi = k_all.map(lambda x: ranges.get(x, (np.nan, np.nan))[1]).to_numpy(
+                dtype=np.float64
+            )
+            keep = ~np.isnan(v_all) & ~np.isnan(lo) & (v_all >= lo) & (v_all <= hi)
+            if not keep.any():
+                continue
+            v, klo, khi = v_all[keep], lo[keep], hi[keep]
+            w = (khi - klo) / num_bins
+            idx = np.minimum(
+                ((v - klo) / w).astype(np.int64), num_bins - 1
+            ).astype(np.int32)
+            g = (
+                pd.DataFrame({key: k_all[keep].to_numpy(), "bin": idx, "v": v})
+                .groupby([key, "bin"], sort=False)["v"]
+                .agg(cnt="count", vmin="min", vmax="max")
+                .reset_index()
+            )
+            g.insert(1, "__tgt", tgt)
+            outs.append(g)
+        if not outs:
+            return _empty_hist(batch)
+        return table_from_pandas(pd.concat(outs, ignore_index=True))
 
     rounds = 0
     while any(s["n_in"] > exact_threshold for s in state.values()):
         rounds += 1
         if rounds > max_rounds:  # paranoia bound; B=1024 shrinks ~1000x/round
             break
-        active = {
-            k: (s["lo"], s["hi"])
-            for k, s in state.items()
-            if s["n_in"] > exact_threshold
-        }
+        active: dict = {}
+        for (kval, tgt), s in state.items():
+            if s["n_in"] > exact_threshold:
+                active.setdefault(tgt, {})[kval] = (s["lo"], s["hi"])
         ranges_ref = ray.put(active)
         hist = (
             proj.map_batches(
                 functools.partial(hist_partial, ranges_ref=ranges_ref),
                 batch_format="pyarrow",
             )
-            .groupby([key, "bin"])
+            .groupby([key, "__tgt", "bin"])
             .aggregate(
                 Sum("cnt", alias_name="cnt"),
                 Min("vmin", alias_name="vmin"),
@@ -329,13 +352,13 @@ def exact_median_per_key(
             )
             .to_pandas()
         )
-        for kval, grp in hist.groupby(key, sort=False):
-            if kval not in active:
+        for (kval, tgt), grp in hist.groupby([key, "__tgt"], sort=False):
+            if tgt not in active or kval not in active[tgt]:
                 continue
-            s = state[kval]
+            s = state[(kval, tgt)]
             grp = grp.sort_values("bin")
             cum = grp["cnt"].cumsum().to_numpy()
-            # local ranks of the two middles within the current range
+            # local ranks of the two targets within the current range
             t1, t2 = s["r1"] - s["base"], s["r2"] - s["base"]
             i1 = int(np.searchsorted(cum, t1, side="left"))
             i2 = int(np.searchsorted(cum, t2, side="left"))
@@ -345,51 +368,170 @@ def exact_median_per_key(
             s["hi"] = float(grp["vmax"].iloc[i2])
             s["n_in"] = int(cum[i2]) - below
             if s["lo"] == s["hi"]:
-                done[kval] = s["lo"]
-        for kval in list(state):
-            if kval in done:
-                del state[kval]
+                done[(kval, tgt)] = s["lo"]
+        for k2 in list(state):
+            if k2 in done:
+                del state[k2]
 
     if state:
-        final_ref = ray.put({k: (s["lo"], s["hi"]) for k, s in state.items()})
-        targets = {k: (s["base"], s["r1"], s["r2"]) for k, s in state.items()}
+        final_by_tgt: dict = {}
+        for (kval, tgt), s in state.items():
+            final_by_tgt.setdefault(tgt, {})[kval] = (s["lo"], s["hi"])
+        final_ref = ray.put(final_by_tgt)
+        targets = {
+            (kval, tgt): (s["base"], s["r1"], s["r2"])
+            for (kval, tgt), s in state.items()
+        }
         targets_ref = ray.put(targets)
 
         def in_range(batch: pa.Table) -> pa.Table:
-            ranges = ray.get(final_ref)
+            ranges_by_tgt = ray.get(final_ref)
             df = batch.to_pandas()
-            v = pd.to_numeric(df[column], errors="coerce").to_numpy(np.float64)
-            lo = df[key].map(lambda x: ranges.get(x, (np.nan, np.nan))[0]).to_numpy(
-                dtype=np.float64
+            v_all = pd.to_numeric(df[column], errors="coerce").to_numpy(
+                np.float64
             )
-            hi = df[key].map(lambda x: ranges.get(x, (np.nan, np.nan))[1]).to_numpy(
-                dtype=np.float64
-            )
-            keep = ~np.isnan(v) & ~np.isnan(lo) & (v >= lo) & (v <= hi)
-            return table_from_pandas(df.loc[keep, [key, column]])
+            k_all = df[key]
+            outs = []
+            for tgt, ranges in ranges_by_tgt.items():
+                lo = k_all.map(
+                    lambda x: ranges.get(x, (np.nan, np.nan))[0]
+                ).to_numpy(dtype=np.float64)
+                hi = k_all.map(
+                    lambda x: ranges.get(x, (np.nan, np.nan))[1]
+                ).to_numpy(dtype=np.float64)
+                keep = ~np.isnan(v_all) & ~np.isnan(lo) & (v_all >= lo) & (
+                    v_all <= hi
+                )
+                if not keep.any():
+                    continue
+                g = pd.DataFrame(
+                    {
+                        key: k_all[keep].to_numpy(),
+                        "__tgt": tgt,
+                        column: v_all[keep],
+                    }
+                )
+                outs.append(g)
+            if not outs:
+                return pa.table(
+                    {
+                        key: pa.array([], batch.schema.field(key).type),
+                        "__tgt": pa.array([], pa.string()),
+                        column: pa.array([], pa.float64()),
+                    }
+                )
+            return table_from_pandas(pd.concat(outs, ignore_index=True))
 
         def pick(df: pd.DataFrame) -> pa.Table:
             t = ray.get(targets_ref)
-            kval = df[key].iat[0]
-            base, r1, r2 = t[kval]
+            kval, tgt = df[key].iat[0], df["__tgt"].iat[0]
+            base, r1, r2 = t[(kval, tgt)]
             v = np.sort(df[column].to_numpy(dtype=np.float64))
             med = (v[r1 - base - 1] + v[r2 - base - 1]) / 2.0
-            return pa.table({key: [kval], out_col: [float(med)]})
+            return pa.table(
+                {key: [kval], "__tgt": [tgt], "val": [float(med)]}
+            )
 
         finals = (
             proj.map_batches(in_range, batch_format="pyarrow")
-            .groupby(key)
+            .groupby([key, "__tgt"])
             .map_groups(pick, batch_format="pandas")
             .to_pandas()
         )
     else:
-        finals = pd.DataFrame({key: [], out_col: []})
+        finals = pd.DataFrame({key: [], "__tgt": [], "val": []})
 
     done_df = pd.DataFrame(
-        {key: list(done.keys()), out_col: [float(x) for x in done.values()]}
+        [(k2[0], k2[1], float(v)) for k2, v in done.items()],
+        columns=[key, "__tgt", "val"],
     )
-    out = pd.concat([finals, done_df], ignore_index=True)
-    return out.sort_values(key).reset_index(drop=True)
+    frames = [f for f in (finals, done_df) if len(f)]
+    long = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame({key: [], "__tgt": [], "val": []})
+    )
+    wide = long.pivot(index=key, columns="__tgt", values="val").reset_index()
+    wide.columns.name = None
+    for c in out_cols:  # stable column order, present even if all-done
+        if c not in wide.columns:
+            wide[c] = np.nan
+    return (
+        wide[[key, *out_cols]].sort_values(key).reset_index(drop=True)
+    )
+
+
+def exact_median_per_key(
+    ds,
+    key: str,
+    column: str,
+    *,
+    num_bins: int = 1024,
+    exact_threshold: int = 100_000,
+    max_rounds: int = 8,
+    ranks_fn=None,
+    out_col: str = "median",
+):
+    """Exact per-key median of ``column``; returns a pandas DataFrame
+    (key, median) sorted by key. Even counts average the two middle
+    order statistics; NaN/null values are ignored (SQL MEDIAN
+    semantics).
+
+    ``ranks_fn(n) -> (r1, r2)`` overrides the two 1-based target order
+    statistics (defaults to the median pair); the result column is the
+    average of the two — pass r1 == r2 for a single exact order
+    statistic (PERCENTILE_DISC). ``out_col`` names the result.
+
+    Single-target wrapper over :func:`exact_ranks_per_key`."""
+
+    def targets_fn(n: int):
+        r1, r2 = ranks_fn(n) if ranks_fn else ((n + 1) // 2, (n + 2) // 2)
+        return [(r1, r2, out_col)]
+
+    return exact_ranks_per_key(
+        ds,
+        key,
+        column,
+        targets_fn=targets_fn,
+        num_bins=num_bins,
+        exact_threshold=exact_threshold,
+        max_rounds=max_rounds,
+    )
+
+
+def exact_percentiles_per_key(
+    ds,
+    key: str,
+    column: str,
+    targets: list[tuple[int, int, str]],
+    *,
+    num_bins: int = 1024,
+    exact_threshold: int = 100_000,
+    max_rounds: int = 8,
+):
+    """Exact PERCENTILE_DISC for SEVERAL (num, den, out_col) targets in
+    ONE shared histogram-refinement drive — k percentiles cost the same
+    table scans as one. Integer rank arithmetic keeps both engines on
+    the identical order statistic."""
+    for num, den, _ in targets:
+        if not (0 < num <= den):
+            raise ValueError("percentile num/den must be in (0, 1]")
+
+    def targets_fn(n: int):
+        return [
+            ((num * n + den - 1) // den, (num * n + den - 1) // den, col)
+            for num, den, col in targets
+        ]
+
+    return exact_ranks_per_key(
+        ds,
+        key,
+        column,
+        targets_fn=targets_fn,
+        num_bins=num_bins,
+        exact_threshold=exact_threshold,
+        max_rounds=max_rounds,
+    )
 
 
 def exact_percentile_per_key(

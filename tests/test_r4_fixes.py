@@ -351,3 +351,42 @@ def test_bucketed_join_select_projection(ray_session):
             left, right, key="k", right_key="rk", how="inner",
             right_cols={"p": "p"}, select=["k", "nope"],
         )
+
+
+# ---------------------------------------------------------------------------
+# multi-target percentile refinement (one shared histogram drive)
+# ---------------------------------------------------------------------------
+def test_exact_percentiles_multi_target_matches_single(ray_session):
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import (
+        exact_percentile_per_key,
+        exact_percentiles_per_key,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    keys = rng.choice(["a", "b", "c"], size=n)
+    vals = rng.gamma(2.0, 50.0, size=n).round(2)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.float64())})
+    ).repartition(8)
+
+    multi = exact_percentiles_per_key(
+        ds, "k", "v", [(1, 10, "p10"), (1, 2, "p50"), (9, 10, "p90")],
+        exact_threshold=64,
+    )
+    for num, den, col in [(1, 10, "p10"), (1, 2, "p50"), (9, 10, "p90")]:
+        single = exact_percentile_per_key(
+            ds, "k", "v", num=num, den=den, out_col=col, exact_threshold=64
+        )
+        pd.testing.assert_series_equal(multi[col], single[col], check_names=False)
+
+    # scalar reference: PERCENTILE_DISC = 1-based rank ceil(num*n/den)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for kv, grp in df.groupby("k"):
+        v = np.sort(grp["v"].to_numpy())
+        m = len(v)
+        exp = v[(9 * m + 9) // 10 - 1]
+        got = float(multi.loc[multi["k"] == kv, "p90"].iloc[0])
+        assert got == exp, (kv, got, exp)
