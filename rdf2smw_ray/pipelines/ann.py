@@ -424,6 +424,158 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def _bucket_topk(df: pd.DataFrame, k: int) -> pa.Table:
+    """Within one candidate bucket: GEMM src x dst, local top-(k+8) per
+    source. The +8 margin: the cut here is on RAW scores, the final
+    rank on ROUND(,6)+id — the margin keeps boundary round-ties alive
+    (shared by the exact tiled and the IVF-pruned kNN graphs)."""
+    src = df[df["is_src"]].drop_duplicates("vec_id")
+    dst = df[~df["is_src"]].drop_duplicates("vec_id")
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "nbr_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if not len(src) or not len(dst):
+        return empty
+    sm = np.stack(src["v"].to_numpy())
+    dm = np.stack(dst["v"].to_numpy())
+    sid = src["vec_id"].to_numpy(dtype=np.int64)
+    did = dst["vec_id"].to_numpy(dtype=np.int64)
+    scores = sm @ dm.T
+    scores[sid[:, None] == did[None, :]] = -np.inf  # no self edge
+    kk = min(k + 8, scores.shape[1])
+    idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    rows = np.repeat(sid, kk)
+    cols = did[idx.ravel()]
+    vals = np.take_along_axis(scores, idx, axis=1).ravel()
+    keep = np.isfinite(vals)
+    return pa.table(
+        {
+            "vec_id": pa.array(rows[keep], pa.int64()),
+            "nbr_id": pa.array(cols[keep], pa.int64()),
+            "score": pa.array(vals[keep], pa.float64()),
+        }
+    )
+
+
+def _final_knn_topk(candidates, k: int) -> pd.DataFrame:
+    """Global per-source top-k over bucket-local candidates: coarse
+    source-hash buckets, vectorized lexsort + cumcount head-k inside —
+    no per-source Python. Dedupes candidate edges first (the IVF path
+    can surface the same (src, nbr) from several probed lists).
+    Ranking on ROUND(score, 6) with neighbor-id tie-break keeps the
+    selected row SET identical across engines."""
+
+    def add_srcbucket(batch: pa.Table) -> pa.Table:
+        h = batch["vec_id"].to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("__b", pa.array(h.astype(np.int32), pa.int32()))
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["vec_id", "nbr_id"])
+        s6 = np.round(df["score"].to_numpy(dtype=np.float64), 6)
+        order = np.lexsort(
+            (df["nbr_id"].to_numpy(), -s6, df["vec_id"].to_numpy())
+        )
+        df = df.iloc[order]
+        pos = df.groupby("vec_id", sort=False).cumcount().to_numpy()
+        keep = pos < k
+        return pa.table(
+            {
+                "vec_id": pa.array(df["vec_id"].to_numpy()[keep], pa.int64()),
+                "nbr_id": pa.array(df["nbr_id"].to_numpy()[keep], pa.int64()),
+                "rk": pa.array((pos[keep] + 1).astype(np.int64), pa.int64()),
+                "score": pa.array(
+                    np.round(df["score"].to_numpy(dtype=np.float64)[keep], 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    out = (
+        candidates.map_batches(add_srcbucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["vec_id", "rk"]).reset_index(drop=True)
+
+
+def knn_graph_ivf(
+    embeddings, *, k: int = 3, n_lists: int = 16, nprobe: int = 4
+):
+    """Approximate all-pairs kNN graph with IVF pruning — the scale
+    ramp past ``knn_graph``'s T=64 tile cap.
+
+    Every vector lands in its nearest-centroid LIST as a neighbor
+    candidate (dst, once) and probes its ``nprobe`` nearest lists as a
+    source — GEMM work drops from n² to ~n²·nprobe/n_lists and shuffle
+    replication is O(nprobe) per row instead of O(T). ``nprobe ==
+    n_lists`` probes everything: exactly the tiled graph's result
+    (value-checked in tests and against the SQL oracle), so recall
+    degrades continuously as nprobe shrinks.
+
+    Partitioning assumption: spherical-k-means lists are roughly
+    balanced — one bucket holds one list's members plus its probing
+    sources. A pathologically single-cluster corpus degrades to one
+    hot bucket; raise n_lists (lists ~ sqrt(n) keeps bucket GEMMs at
+    the same per-task cost as the exact path's tiles) or fall back to
+    the exact ``knn_graph`` tiles."""
+    import functools
+
+    import ray
+
+    cent = train_ivf_centroids(embeddings, n_lists=n_lists)
+    nprobe_eff = min(nprobe, len(cent))
+    cent_ref = ray.put(cent)
+
+    emb = embeddings.select_columns(["vec_id", "embedding"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _unit(_to_matrix(batch["embedding"]))
+        sims = mat @ c.T  # (n, L)
+        own = sims.argmax(axis=1).astype(np.int64)
+        probes = np.argpartition(-sims, nprobe_eff - 1, axis=1)[
+            :, :nprobe_eff
+        ].astype(np.int64)
+        n = len(ids)
+        flat = pa.array(mat.ravel(), pa.float64())
+        vecs = pa.FixedSizeListArray.from_arrays(flat, mat.shape[1])
+        parts = [
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "v": vecs,
+                    "__bucket": pa.array(own, pa.int64()),
+                    "is_src": pa.array(np.zeros(n, dtype=bool)),
+                }
+            )
+        ]
+        for j in range(nprobe_eff):
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "v": vecs,
+                        "__bucket": pa.array(probes[:, j], pa.int64()),
+                        "is_src": pa.array(np.ones(n, dtype=bool)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    candidates = (
+        emb.map_batches(emit, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(functools.partial(_bucket_topk, k=k), batch_format="pandas")
+    )
+    return _final_knn_topk(candidates, k)
+
+
 def knn_graph(embeddings, *, k: int = 3, num_tiles: int | None = None):
     """All-pairs k-nearest-neighbor GRAPH by cosine: for every vector,
     its k most similar others — the building block under embedding
@@ -437,7 +589,9 @@ def knn_graph(embeddings, *, k: int = 3, num_tiles: int | None = None):
     vectorized head-k (lexsort + boundary mask, no per-source Python).
     Replication is O(T) per row (blocked-GEMM tradeoff: T bounds both
     task memory and shuffle volume); corpora too big for O(n²/T²)
-    tiles should use the IVF path (``ann_ivf_topk``) instead.
+    tiles should use :func:`knn_graph_ivf` (same output contract,
+    ~n²·nprobe/n_lists work, exact at nprobe == n_lists) — the scale
+    ramp past the T=64 cap.
 
     Ranking is on ROUND(score, 6) with neighbor-id tie-break — the
     bm25 pattern that keeps the selected row SET identical across
@@ -496,77 +650,14 @@ def knn_graph(embeddings, *, k: int = 3, num_tiles: int | None = None):
             )
         return pa.concat_tables(parts)
 
-    def tile_topk(df: pd.DataFrame) -> pa.Table:
-        src = df[df["is_src"]].drop_duplicates("vec_id")
-        dst = df[~df["is_src"]].drop_duplicates("vec_id")
-        empty = pa.table(
-            {
-                "vec_id": pa.array([], pa.int64()),
-                "nbr_id": pa.array([], pa.int64()),
-                "score": pa.array([], pa.float64()),
-            }
-        )
-        if not len(src) or not len(dst):
-            return empty
-        sm = np.stack(src["v"].to_numpy())
-        dm = np.stack(dst["v"].to_numpy())
-        sid = src["vec_id"].to_numpy(dtype=np.int64)
-        did = dst["vec_id"].to_numpy(dtype=np.int64)
-        scores = sm @ dm.T
-        scores[sid[:, None] == did[None, :]] = -np.inf  # no self edge
-        # +8 margin: the tile cut is on RAW scores, the final rank on
-        # ROUND(,6)+id — the margin keeps boundary round-ties alive
-        kk = min(k + 8, scores.shape[1])
-        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(sid, kk)
-        cols = did[idx.ravel()]
-        vals = np.take_along_axis(scores, idx, axis=1).ravel()
-        keep = np.isfinite(vals)
-        return pa.table(
-            {
-                "vec_id": pa.array(rows[keep], pa.int64()),
-                "nbr_id": pa.array(cols[keep], pa.int64()),
-                "score": pa.array(vals[keep], pa.float64()),
-            }
-        )
+    import functools
 
     candidates = (
         emb.map_batches(emit, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(tile_topk, batch_format="pandas")
+        .map_groups(functools.partial(_bucket_topk, k=k), batch_format="pandas")
     )
-
-    def add_srcbucket(batch: pa.Table) -> pa.Table:
-        h = batch["vec_id"].to_numpy(zero_copy_only=False) % 64
-        return batch.append_column("__b", pa.array(h.astype(np.int32), pa.int32()))
-
-    def final_topk(df: pd.DataFrame) -> pa.Table:
-        s6 = np.round(df["score"].to_numpy(dtype=np.float64), 6)
-        order = np.lexsort(
-            (df["nbr_id"].to_numpy(), -s6, df["vec_id"].to_numpy())
-        )
-        df = df.iloc[order]
-        pos = df.groupby("vec_id", sort=False).cumcount().to_numpy()
-        keep = pos < k
-        return pa.table(
-            {
-                "vec_id": pa.array(df["vec_id"].to_numpy()[keep], pa.int64()),
-                "nbr_id": pa.array(df["nbr_id"].to_numpy()[keep], pa.int64()),
-                "rk": pa.array((pos[keep] + 1).astype(np.int64), pa.int64()),
-                "score": pa.array(
-                    np.round(df["score"].to_numpy(dtype=np.float64)[keep], 4),
-                    pa.float64(),
-                ),
-            }
-        )
-
-    out = (
-        candidates.map_batches(add_srcbucket, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(final_topk, batch_format="pandas")
-        .to_pandas()
-    )
-    return out.sort_values(["vec_id", "rk"]).reset_index(drop=True)
+    return _final_knn_topk(candidates, k)
 
 
 KNN_GRAPH_SQL = """

@@ -2066,6 +2066,16 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(_emb(sf_dir), k=3, num_tiles=4)
 
 
+def q_knn_graph_ivf(sf_dir: str):
+    """IVF-pruned all-pairs 3-NN graph at FULL probe (nprobe ==
+    n_lists) — probes everything, so the result equals the exact tiled
+    graph and shares its SQL oracle; pruned-probe recall is
+    pytest-asserted (tests/test_r4_fixes.py)."""
+    from rdf2smw_ray.pipelines.ann import knn_graph_ivf
+
+    return knn_graph_ivf(_emb(sf_dir), k=3, n_lists=8, nprobe=8)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF top-k with full probe (nprobe = n_lists) — exercises the
     quantizer/assignment/probe machinery end-to-end while remaining
@@ -2301,6 +2311,7 @@ def all_queries():
         # similarity search
         "ann_topk": q_ann_topk,
         "knn_graph": q_knn_graph,
+        "knn_graph_ivf": q_knn_graph_ivf,
         "embedding_norm_stats": q_embedding_norm_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh,
@@ -2438,6 +2449,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "knn_graph": KNN_GRAPH_SQL,
+        "knn_graph_ivf": KNN_GRAPH_SQL,
         "embedding_norm_stats": EMBEDDING_NORM_STATS_SQL,
         "ann_ivf_topk": ANN_TOPK_SQL,  # full probe == exact
         "top_orders_per_nation": relational.TOPK_PER_NATION_SQL,

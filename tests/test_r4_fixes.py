@@ -390,3 +390,43 @@ def test_exact_percentiles_multi_target_matches_single(ray_session):
         exp = v[(9 * m + 9) // 10 - 1]
         got = float(multi.loc[multi["k"] == kv, "p90"].iloc[0])
         assert got == exp, (kv, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_ivf: full probe == exact graph; pruned probe has high recall
+# ---------------------------------------------------------------------------
+def test_knn_graph_ivf_full_probe_equals_exact(ray_session):
+    from rdf2smw_ray.pipelines.ann import knn_graph, knn_graph_ivf
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+
+    emb = cached_table("/root/testdata/sf0.001", "embeddings")
+    exact = knn_graph(emb, k=3, num_tiles=4)
+    full = knn_graph_ivf(emb, k=3, n_lists=8, nprobe=8)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), full.reset_index(drop=True)
+    )
+
+
+def test_knn_graph_ivf_pruned_recall(ray_session):
+    from rdf2smw_ray.pipelines.ann import knn_graph, knn_graph_ivf
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+
+    emb = cached_table("/root/testdata/sf0.001", "embeddings")
+    exact = knn_graph(emb, k=3, num_tiles=4)
+    e = set(zip(exact["vec_id"], exact["nbr_id"]))
+
+    # the synthetic embeddings are near-uniform (mean max-cos ~0.36) —
+    # IVF's WORST case, recall ~ nprobe/n_lists plus the own-list
+    # bonus. Assert the measured curve with margin: recall must grow
+    # monotonically with nprobe and clear honest floors.
+    recalls = {}
+    for npb in (2, 4, 6):
+        pruned = knn_graph_ivf(emb, k=3, n_lists=8, nprobe=npb)
+        p = set(zip(pruned["vec_id"], pruned["nbr_id"]))
+        recalls[npb] = len(e & p) / len(e)
+        # pruning shrinks candidates, not the per-source contract
+        assert (pruned.groupby("vec_id").size() == 3).all()
+    assert recalls[2] >= 0.45, recalls
+    assert recalls[4] >= 0.70, recalls
+    assert recalls[6] >= 0.85, recalls
+    assert recalls[2] < recalls[4] < recalls[6], recalls
