@@ -2255,6 +2255,11 @@ def all_queries():
         "promo_revenue_ratio": relational.promo_revenue_ratio,
         "customer_order_distribution": relational.customer_order_distribution,
         "rich_inactive_customers": relational.rich_inactive_customers,
+        "order_priority_check": relational.order_priority_check,
+        "returned_item_revenue": relational.returned_item_revenue,
+        "late_lineitems_by_priority": relational.late_lineitems_by_priority,
+        "large_volume_customers": relational.large_volume_customers,
+        "bracket_revenue": relational.bracket_revenue,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
@@ -2477,6 +2482,11 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "promo_revenue_ratio": relational.PROMO_REVENUE_SQL,
         "customer_order_distribution": relational.CUSTOMER_ORDER_DIST_SQL,
         "rich_inactive_customers": relational.RICH_INACTIVE_SQL,
+        "order_priority_check": relational.ORDER_PRIORITY_CHECK_SQL,
+        "returned_item_revenue": relational.RETURNED_ITEM_REVENUE_SQL,
+        "late_lineitems_by_priority": relational.LATE_LINEITEMS_SQL,
+        "large_volume_customers": relational.LARGE_VOLUME_CUSTOMERS_SQL,
+        "bracket_revenue": relational.BRACKET_REVENUE_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,
