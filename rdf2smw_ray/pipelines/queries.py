@@ -2260,6 +2260,11 @@ def all_queries():
         "late_lineitems_by_priority": relational.late_lineitems_by_priority,
         "large_volume_customers": relational.large_volume_customers,
         "bracket_revenue": relational.bracket_revenue,
+        "profit_by_nation_year": relational.profit_by_nation_year,
+        "important_parts": relational.important_parts,
+        "part_supplier_counts": relational.part_supplier_counts,
+        "waiting_suppliers": relational.waiting_suppliers,
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
@@ -2487,6 +2492,11 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "late_lineitems_by_priority": relational.LATE_LINEITEMS_SQL,
         "large_volume_customers": relational.LARGE_VOLUME_CUSTOMERS_SQL,
         "bracket_revenue": relational.BRACKET_REVENUE_SQL,
+        "profit_by_nation_year": relational.PROFIT_BY_NATION_YEAR_SQL,
+        "important_parts": relational.IMPORTANT_PARTS_SQL,
+        "part_supplier_counts": relational.PART_SUPPLIER_COUNTS_SQL,
+        "waiting_suppliers": relational.WAITING_SUPPLIERS_SQL,
+        "cheapest_supplier_per_part": relational.CHEAPEST_SUPPLIER_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

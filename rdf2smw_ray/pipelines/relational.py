@@ -2399,3 +2399,513 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 
    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
 """
+
+
+def profit_by_nation_year(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp/ps_supplycost in the
+    synthetic schema — cost = p_retailprice × quantity): profit per
+    supplier nation per order year, over the full lineitem ⋈ part ⋈
+    supplier ⋈ nation ⋈ orders star.
+
+    Plan: part and supplier attach via the size-gated join (broadcast
+    while small, co-shuffle when they out-scale the gate); the
+    supplier-nation name map is ontology-bounded and rides an
+    ObjectRef. The one unavoidable big-big exchange (lineitem ⋈ orders
+    for the order year) ships pre-reduced (orderkey, nationkey,
+    profit) rows — profit is exact int64 1e-4-dollar units
+    (cents × (100 − disc_pct) − 100 × qty × retail_cents), so the
+    output column is a BIGINT and no float rounding can flake the
+    oracle (the round-3 ``nation_pair_volume`` lesson)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    names_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    li = bucketed_join(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=[
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ),
+        _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"]),
+        key="l_partkey",
+        right_key="p_partkey",
+        how="inner",
+        right_cols={"p_retailprice": "p_retailprice"},
+        est_bytes=input_bytes(f"{sf_dir}/part.parquet"),
+    )
+    li = bucketed_join(
+        li,
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        key="l_suppkey",
+        right_key="s_suppkey",
+        how="inner",
+        right_cols={"s_nationkey": "s_nationkey"},
+        est_bytes=input_bytes(f"{sf_dir}/supplier.parquet"),
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        rcents = np.round(df["p_retailprice"].to_numpy() * 100).astype(np.int64)
+        profit = cents * (100 - pct) - 100 * qty * rcents
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "s_nationkey": df["s_nationkey"].to_numpy().astype(np.int64),
+                    "profit_e4": profit,
+                }
+            )
+            .groupby(["l_orderkey", "s_nationkey"], sort=False)["profit_e4"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "s_nationkey": pa.array(g["s_nationkey"].to_numpy(), pa.int64()),
+                "profit_e4": pa.array(g["profit_e4"].to_numpy(), pa.int64()),
+            }
+        )
+
+    joined = bucketed_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]),
+        key="l_orderkey",
+        right_key="o_orderkey",
+        how="inner",
+        right_cols={"o_orderdate": "o_orderdate"},
+        est_bytes=input_bytes(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"),
+    )
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        df = batch.to_pandas()
+        year = pd.to_datetime(df["o_orderdate"]).dt.year.to_numpy().astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "n_name": df["s_nationkey"].map(names).to_numpy(),
+                    "o_year": year,
+                    "profit_e4": df["profit_e4"].to_numpy(),
+                }
+            )
+            .groupby(["n_name", "o_year"], sort=False)["profit_e4"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "n_name": pa.array(g["n_name"], pa.string()),
+                "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
+                "profit_e4": pa.array(g["profit_e4"].to_numpy(), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("profit_e4", alias_name="profit_e4"))
+        .to_pandas()
+    )
+    out["o_year"] = out["o_year"].astype("int64")
+    out["profit_e4"] = out["profit_e4"].astype("int64")
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+PROFIT_BY_NATION_YEAR_SQL = """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - 100 * CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS profit_e4
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY n_name, o_year ORDER BY n_name, o_year
+"""
+
+
+def important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp — 'value' is total sold
+    lineitem value per part): parts whose value exceeds 1.2× the
+    per-part average, i.e. a per-key aggregate HAVING-compared against
+    a GLOBAL scalar. The global total and count come from the SAME
+    per-part aggregate (materialized once — both consumers reuse it,
+    a lazy Dataset would re-execute its lineage per consumer); the
+    comparison is pure BIGINT cross-multiplication (v·n·5 > total·6),
+    so no float threshold can flake the oracle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"p_partkey": df["l_partkey"].to_numpy(), "v": cents * (100 - pct)}
+            )
+            .groupby("p_partkey", sort=False)["v"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(g.index.to_numpy(), pa.int64()),
+                "value_e4": pa.array(g.to_numpy(), pa.int64()),
+            }
+        )
+
+    per_part = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("value_e4", alias_name="value_e4"))
+        .materialize()
+    )
+    total = int(per_part.aggregate(Sum("value_e4"))["sum(value_e4)"])
+    nparts = int(per_part.count())
+    out = (
+        per_part.map_batches(
+            lambda t: t.filter(
+                pc.greater(pc.multiply(t["value_e4"], 5 * nparts), 6 * total)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(["value_e4", "p_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["value_e4"] = out["value_e4"].astype("int64")
+    return out
+
+
+IMPORTANT_PARTS_SQL = """
+WITH pv AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS value_e4
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_partkey, CAST(value_e4 AS BIGINT) AS value_e4 FROM pv
+WHERE value_e4 * 5 * (SELECT COUNT(*) FROM pv) > 6 * (SELECT SUM(value_e4) FROM pv)
+ORDER BY value_e4 DESC, p_partkey
+"""
+
+
+def part_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, size),
+    excluding one brand and excluding negative-balance suppliers
+    (NOT IN anti-join). The exclusion side rides the size-gated anti
+    join (broadcast while small, co-shuffle at scale); part attributes
+    attach the same way. The distinct itself is a combiner-first
+    two-level reduction: per-batch triple dedup → one (brand, size,
+    suppkey) shuffle → per-batch pair counts → tiny final groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    bad = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.filter(pc.less(t["s_acctbal"], 0.0))["s_suppkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    li = bucketed_join(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        bad,
+        key="l_suppkey",
+        right_key="s_suppkey",
+        how="anti",
+        est_bytes=input_bytes(f"{sf_dir}/supplier.parquet"),
+    )
+    li = bucketed_join(
+        li,
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["p_brand"], "Brand#1"))),
+            batch_format="pyarrow",
+        ),
+        key="l_partkey",
+        right_key="p_partkey",
+        how="inner",
+        right_cols={"p_brand": "p_brand", "p_size": "p_size"},
+        est_bytes=input_bytes(f"{sf_dir}/part.parquet"),
+    )
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+        return pa.table(
+            {
+                "p_brand": pa.array(df["p_brand"], pa.string()),
+                "p_size": pa.array(df["p_size"].to_numpy().astype(np.int64), pa.int64()),
+                "l_suppkey": pa.array(df["l_suppkey"].to_numpy(), pa.int64()),
+            }
+        )
+
+    distinct = (
+        li.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_dup"))
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["p_brand", "p_size"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "p_brand": pa.array(g["p_brand"], pa.string()),
+                "p_size": pa.array(g["p_size"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        distinct.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Sum("n", alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_size"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+
+
+PART_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def waiting_suppliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q21 shape (adapted to available columns — 'late' =
+    returnflag 'R'): suppliers who were the SOLE returner on a
+    multi-supplier order. Per-order logic (distinct-supplier count,
+    distinct R-supplier count, the unique R supplier) needs every row
+    of an order co-located: ONE shuffle on a coarse orderkey bucket
+    (`auto_buckets`-sized, never per-order map_groups), vectorized
+    inside via lexsort + boundary reductions. Per-batch (orderkey,
+    suppkey, had_r) dedup runs combiner-first so the shuffle ships
+    ≤1 row per (order, supplier) per block."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import auto_buckets, input_bytes
+
+    nbuck = auto_buckets(input_bytes(f"{sf_dir}/lineitem.parquet"))
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "l_suppkey": df["l_suppkey"].to_numpy(),
+                    "had_r": (df["l_returnflag"] == "R").to_numpy().astype(np.int64),
+                }
+            )
+            .groupby(["l_orderkey", "l_suppkey"], sort=False)["had_r"]
+            .max()
+            .reset_index()
+        )
+        g["__bucket"] = (g["l_orderkey"].to_numpy() % nbuck).astype(np.int64)
+        return table_from_pandas(g, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy()
+        sk = df["l_suppkey"].to_numpy()
+        hr = df["had_r"].to_numpy()
+        order = np.lexsort((sk, ok))
+        ok, sk, hr = ok[order], sk[order], hr[order]
+        # collapse cross-block duplicates of (order, supplier)
+        pair_new = np.ones(len(ok), dtype=bool)
+        pair_new[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        pair_id = np.cumsum(pair_new) - 1
+        starts = np.flatnonzero(pair_new)
+        p_ok = ok[starts]
+        p_sk = sk[starts]
+        p_hr = np.maximum.reduceat(hr, starts) if len(starts) else hr[:0]
+        # per-order reductions over the deduped pairs
+        ord_new = np.ones(len(p_ok), dtype=bool)
+        ord_new[1:] = p_ok[1:] != p_ok[:-1]
+        o_starts = np.flatnonzero(ord_new)
+        if not len(o_starts):
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64")})
+        ns = np.diff(np.append(o_starts, len(p_ok)))
+        nr = np.add.reduceat(p_hr, o_starts)
+        # unique R supplier per order: min suppkey among had_r pairs
+        # (pairs are suppkey-sorted within an order, so the FIRST
+        # had_r pair in each order segment is that minimum)
+        seg_of_pair = np.cumsum(ord_new) - 1
+        first_r = np.full(len(o_starts), -1, dtype=np.int64)
+        r_idx = np.flatnonzero(p_hr > 0)
+        if len(r_idx):
+            segs = seg_of_pair[r_idx]
+            keep = np.ones(len(segs), dtype=bool)
+            keep[1:] = segs[1:] != segs[:-1]
+            first_r[segs[keep]] = p_sk[r_idx[keep]]
+        m = (ns > 1) & (nr == 1)
+        return pd.DataFrame({"l_suppkey": first_r[m].astype("int64")})
+
+    hits = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+        .map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table(
+                {"l_suppkey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = df.groupby("l_suppkey", sort=False).size()
+        return pa.table(
+            {
+                "l_suppkey": pa.array(g.index.to_numpy(), pa.int64()),
+                "n": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_supp = (
+        hits.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("n", alias_name="numwait"))
+    )
+    named = bucketed_join(
+        per_supp,
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        key="l_suppkey",
+        right_key="s_suppkey",
+        how="inner",
+        right_cols={"s_name": "s_name"},
+        est_bytes=input_bytes(f"{sf_dir}/supplier.parquet"),
+    ).to_pandas()
+    out = (
+        named.groupby("s_name", sort=False)["numwait"]
+        .sum()
+        .reset_index()
+        .sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_name", "numwait"]]
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nr,
+         MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS rsupp
+  FROM lineitem GROUP BY l_orderkey)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON rsupp = s_suppkey
+WHERE ns > 1 AND nr = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp — 'cost' is the cheapest
+    observed discounted sale): per part, the minimum exact int64 sale
+    units and the supplier who made it (suppkey tie-break). The argmin
+    is ONE shuffle: (units, suppkey) pack into a single int64
+    (units·2³² + suppkey) whose Min IS the lexicographic argmin —
+    mirrored bit-for-bit in the SQL. Packing is guarded: units < 2³¹
+    (sale < $21M) and suppkey < 2³², checked vectorized per batch."""
+    from ray.data.aggregate import Min
+
+    _SHIFT = np.int64(1) << np.int64(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        units = cents * (100 - pct)
+        sk = df["l_suppkey"].to_numpy().astype(np.int64)
+        if len(units) and (units.max() >= (1 << 31) or units.min() < 0):
+            raise ValueError("sale units out of the 2^31 packing range")
+        if len(sk) and (sk.max() >= (1 << 32) or sk.min() < 0):
+            raise ValueError("suppkey out of the 2^32 packing range")
+        packed = units * _SHIFT + sk
+        g = (
+            pd.DataFrame({"p_partkey": df["l_partkey"].to_numpy(), "packed": packed})
+            .groupby("p_partkey", sort=False)["packed"]
+            .min()
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(g.index.to_numpy(), pa.int64()),
+                "packed": pa.array(g.to_numpy(), pa.int64()),
+            }
+        )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy()
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "s_suppkey": pa.array(packed % (1 << 32), pa.int64()),
+                "min_units": pa.array(packed >> 32, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(
+            sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Min("packed", alias_name="packed"))
+        .map_batches(unpack, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH u AS (
+  SELECT l_partkey AS p_partkey,
+         MIN((CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) * 4294967296
+             + l_suppkey) AS packed
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_partkey,
+       CAST(packed % 4294967296 AS BIGINT) AS s_suppkey,
+       CAST(packed // 4294967296 AS BIGINT) AS min_units
+FROM u ORDER BY p_partkey
+"""
