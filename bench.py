@@ -269,6 +269,15 @@ def run_queries(num_cpus: int) -> dict:
         "nation_pair_volume",
         "promo_revenue_ratio",
         "value_gini",
+        # round-4 additions
+        "profit_by_nation_year",
+        "waiting_suppliers",
+        "cheapest_supplier_per_part",
+        "part_supplier_counts",
+        "returned_item_revenue",
+        "late_lineitems_by_priority",
+        "heavy_hitters",
+        "url_dedup",
     ]
     q = all_queries()
     times = {}

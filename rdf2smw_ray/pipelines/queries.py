@@ -2204,6 +2204,96 @@ def q_media_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters over the corpus tokens via the two-pass
+    Misra–Gries scheme — a SKETCH drives pass 1 (bounded memory
+    regardless of vocabulary), yet the output is exact and
+    oracle-checkable because pass 2 re-counts the ≤k candidates."""
+    from rdf2smw_ray.pipelines.sketches import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir, columns=["text"]), k=32)
+
+
+HEAVY_HITTERS_SQL = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+t AS (SELECT SUM(cnt) AS total FROM c)
+SELECT token, CAST(cnt AS BIGINT) AS cnt
+FROM c, t WHERE cnt * 32 > total ORDER BY token
+"""
+
+
+def q_url_dedup(sf_dir: str):
+    """Crawl dedup on canonical URLs. The raw crawl is synthesized by
+    doc_id arithmetic (groups of 3 docs fetch the SAME page through 4
+    messy variants — uppercase scheme/host, www. prefix, tracking
+    query, fragment, trailing slash) and the SQL rebuilds the same raw
+    strings, so the oracle value-checks the whole canonicalize → keep
+    min doc_id → count chain."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rdf2smw_ray.pipelines.weburl import url_dedup
+
+    def messy(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.int64)
+        base = d // 3 * 3
+        b = pd.Series(base).astype(str)
+        h = pd.Series(base % 10).astype(str)
+        u0 = ("https://ex" + h + ".org/page/" + b).to_numpy(dtype=object)
+        u1 = ("https://EX" + h + ".ORG/page/" + b + "/").to_numpy(dtype=object)
+        u2 = ("https://www.ex" + h + ".org/page/" + b + "?utm_source=feed").to_numpy(
+            dtype=object
+        )
+        u3 = ("HTTPS://ex" + h + ".org/page/" + b + "#frag").to_numpy(dtype=object)
+        v = d % 4
+        url = np.select([v == 0, v == 1, v == 2], [u0, u1, u2], u3)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "url": pa.array(url.astype(object), pa.string()),
+            }
+        )
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(messy, batch_format="pyarrow")
+    out = url_dedup(pages).to_pandas()
+    out["keeper_doc"] = out["keeper_doc"].astype("int64")
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out.sort_values("canonical_url").reset_index(drop=True)
+
+
+URL_DEDUP_SQL = r"""
+WITH raw AS (
+  SELECT doc_id, (doc_id // 3) * 3 AS base, doc_id % 4 AS v FROM documents
+), urls AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://ex' || (base % 10) || '.org/page/' || base
+      WHEN 1 THEN 'https://EX' || (base % 10) || '.ORG/page/' || base || '/'
+      WHEN 2 THEN 'https://www.ex' || (base % 10) || '.org/page/' || base
+                  || '?utm_source=feed'
+      ELSE 'HTTPS://ex' || (base % 10) || '.org/page/' || base || '#frag'
+    END AS url
+  FROM raw
+), s1 AS (
+  SELECT doc_id, regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '') AS u
+  FROM urls
+), s2 AS (
+  SELECT doc_id,
+    replace(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)', 1)),
+            '://www.', '://')
+    || regexp_replace(
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(.*)$', 1), '/$', '')
+      AS canonical_url
+  FROM s1
+)
+SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM s2 GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2269,6 +2359,8 @@ def all_queries():
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
         "fuzzy_part_canon": fuzzy.fuzzy_part_canon,
+        "heavy_hitters": q_heavy_hitters,
+        "url_dedup": q_url_dedup,
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -2411,6 +2503,8 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
+        "heavy_hitters": HEAVY_HITTERS_SQL,
+        "url_dedup": URL_DEDUP_SQL,
         "token_stats": TOKEN_STATS_SQL,
         "bpe_token_stats": BPE_TOKEN_STATS_SQL,
         "robust_extract": ROBUST_EXTRACT_SQL,

@@ -640,3 +640,100 @@ def cms_token_counts(docs, candidates: list[str], *, d: int = 4, w: int = 1 << 1
     return pd.DataFrame({"token": candidates, "est": est.astype("int64")}).sort_values(
         "token"
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (two-pass exact)
+# ---------------------------------------------------------------------------
+def _mg_compress(counts: dict, k: int) -> dict:
+    """Misra–Gries summary compression: keep ≤k counters by
+    subtracting the (k+1)-th largest count from every counter and
+    dropping the non-positive ones. Preserves the MG invariant
+    (true_count − summary_count ≤ N/(k+1)), so every token with true
+    frequency above N/k is guaranteed to survive."""
+    if len(counts) <= k:
+        return counts
+    vals = np.partition(np.fromiter(counts.values(), dtype=np.int64), len(counts) - k - 1)
+    dec = int(vals[len(counts) - k - 1])
+    return {t: c - dec for t, c in counts.items() if c > dec}
+
+
+def heavy_hitters(docs, *, k: int = 32):
+    """Exact heavy hitters (tokens with count·k > total tokens) via the
+    classic TWO-PASS scheme: pass 1 is a mergeable Misra–Gries summary
+    (bounded at k counters per block aggregator — fixed memory no
+    matter the vocabulary, unlike an exact groupby whose distinct-key
+    shuffle grows with vocab); pass 2 exact-counts only the ≤k
+    surviving candidates (broadcast set, combiner-first) plus the
+    global token total, then filters with integer cross-multiplication
+    (cnt·k > total — no float threshold). MG guarantees candidates ⊇
+    the true heavy-hitter set, so the output is EXACT and
+    oracle-checkable despite the sketch in the middle.
+
+    Whitespace tokenization is ``text.split(' ')`` to match the
+    oracle's ``string_split(text, ' ')`` exactly."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import AggregateFn, Sum
+
+    def block(state: dict, blk) -> dict:
+        t = blk if isinstance(blk, pa.Table) else table_from_pandas(blk)
+        texts = pd.Series(t["text"].to_pylist(), dtype=object).fillna("")
+        toks = texts.str.split(" ")
+        nonempty = [x for x in toks if x]
+        if not nonempty:
+            return state
+        flat = np.concatenate(nonempty).astype(object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        weights = np.bincount(inv).astype(np.int64)
+        out = dict(state)
+        for tok, w in zip(uniq, weights):
+            out[tok] = out.get(tok, 0) + int(w)
+        return _mg_compress(out, k)
+
+    def merge(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for tok, c in b.items():
+            out[tok] = out.get(tok, 0) + c
+        return _mg_compress(out, k)
+
+    cand = docs.select_columns(["text"]).aggregate(
+        AggregateFn(init=lambda _k: {}, merge=merge, accumulate_block=block, name="mg")
+    )["mg"]
+    cand_ref = ray.put(frozenset(cand))  # ≤k tokens
+
+    _TOTAL = "\x00total"
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        keep = ray.get(cand_ref)
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        toks = texts.str.split(" ")
+        nonempty = [x for x in toks if x]
+        if not nonempty:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        flat = np.concatenate(nonempty).astype(object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        weights = np.bincount(inv).astype(np.int64)
+        m = np.array([u in keep for u in uniq], dtype=bool)
+        tokens = list(uniq[m]) + [_TOTAL]
+        cnts = list(weights[m]) + [int(weights.sum())]
+        return pa.table(
+            {
+                "token": pa.array(tokens, pa.string()),
+                "cnt": pa.array(np.asarray(cnts, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.select_columns(["text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    total = int(counts.loc[counts["token"] == _TOTAL, "cnt"].iloc[0])
+    out = counts[(counts["token"] != _TOTAL) & (counts["cnt"] * k > total)].copy()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)[["token", "cnt"]]

@@ -94,3 +94,68 @@ def domain_stats(pages):
             Max("last_ts_us", alias_name="last_ts_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + crawl dedup
+# ---------------------------------------------------------------------------
+def canonicalize_urls(u: pd.Series) -> pd.Series:
+    """Crawl-style URL canonicalization, fully vectorized, with RE2-safe
+    patterns so the oracle can mirror every rule in DuckDB:
+
+    1. drop the fragment (``#...``) and the whole query string
+       (aggressive policy — tracking params dominate crawl dupes)
+    2. lowercase the ``scheme://host`` head
+    3. strip a ``www.`` host prefix
+    4. strip one trailing slash from the path
+    """
+    s = u.fillna("").str.replace(r"#.*$", "", regex=True)
+    s = s.str.replace(r"\?.*$", "", regex=True)
+    ext = s.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)(.*)$")
+    head = (
+        ext[0]
+        .fillna("")
+        .str.lower()
+        .str.replace("://www.", "://", regex=False)
+    )
+    tail = ext[1].fillna("").str.replace(r"/$", "", regex=True)
+    return head + tail
+
+
+def url_dedup(pages):
+    """Exact crawl dedup on the CANONICAL url: keep the smallest doc_id
+    per canonical form and count how many raw fetches collapsed into
+    it. Per-batch combiner (canonicalize → partial min/count) runs
+    before the ONE canonical-key shuffle, so the exchange carries at
+    most one row per canonical url per block — raw fetch rows never
+    move. Input: any Dataset with (doc_id, url) columns."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = pd.Series(batch["url"].to_pylist(), dtype=object)
+        g = (
+            pd.DataFrame(
+                {
+                    "canonical_url": canonicalize_urls(u),
+                    "doc_id": batch["doc_id"].to_numpy(),
+                }
+            )
+            .groupby("canonical_url", sort=False)["doc_id"]
+            .agg(["min", "size"])
+        )
+        return pa.table(
+            {
+                "canonical_url": pa.array(g.index.to_numpy(), pa.string()),
+                "keeper_doc": pa.array(g["min"].to_numpy().astype(np.int64), pa.int64()),
+                "n_dups": pa.array(g["size"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("canonical_url")
+        .aggregate(
+            Min("keeper_doc", alias_name="keeper_doc"),
+            Sum("n_dups", alias_name="n_dups"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Round-4 webtext ops: Misra-Gries heavy hitters + URL canonicalization."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_mg_compress_keeps_true_heavy_hitters():
+    """MG invariant: after any sequence of block-compressions and
+    merges, every token with true count > N/k is still present."""
+    from rdf2smw_ray.pipelines.sketches import _mg_compress
+
+    rng = np.random.default_rng(7)
+    k = 8
+    # skewed stream: token 0 is 30% of the stream, long uniform tail
+    stream = np.where(rng.random(20_000) < 0.3, 0, rng.integers(1, 500, 20_000))
+    true = pd.Series(stream).value_counts()
+    n = len(stream)
+    heavy = set(true[true * k > n].index)
+    assert heavy, "fixture must contain at least one heavy hitter"
+
+    # simulate block-wise accumulation + pairwise merges
+    summaries = []
+    for chunk in np.array_split(stream, 16):
+        s: dict = {}
+        u, c = np.unique(chunk, return_counts=True)
+        for t, w in zip(u, c):
+            s[int(t)] = s.get(int(t), 0) + int(w)
+        summaries.append(_mg_compress(s, k))
+    while len(summaries) > 1:
+        a, b = summaries.pop(), summaries.pop()
+        out = dict(a)
+        for t, c in b.items():
+            out[t] = out.get(t, 0) + c
+        summaries.append(_mg_compress(out, k))
+    cand = set(summaries[0])
+    assert heavy <= cand
+    assert len(cand) <= k
+
+
+def test_mg_compress_bounds_size():
+    from rdf2smw_ray.pipelines.sketches import _mg_compress
+
+    d = {i: i + 1 for i in range(100)}
+    out = _mg_compress(d, 10)
+    assert len(out) <= 10
+    assert all(v > 0 for v in out.values())
+    # survivors are the largest counters
+    assert set(out) == set(range(90, 100))
+
+
+def test_canonicalize_urls_rules():
+    from rdf2smw_ray.pipelines.weburl import canonicalize_urls
+
+    raw = pd.Series(
+        [
+            "https://ex1.org/page/3",
+            "https://EX1.ORG/page/3/",
+            "https://www.ex1.org/page/3?utm_source=feed",
+            "HTTPS://ex1.org/page/3#frag",
+            "http://Host.Example.com/A/B?x=1&y=2#z",  # path case preserved
+            "https://ex2.org",  # no path at all
+            None,
+        ]
+    )
+    out = canonicalize_urls(raw)
+    assert list(out[:4]) == ["https://ex1.org/page/3"] * 4
+    assert out[4] == "http://host.example.com/A/B"
+    assert out[5] == "https://ex2.org"
+    assert out[6] == ""
+
+
+def test_heavy_hitters_exact_on_tiny_corpus(ray_session):
+    """End-to-end: the sketch-driven 2-pass output equals a brute-force
+    exact count even when k is barely above the heavy set size."""
+    import collections
+
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import heavy_hitters
+
+    texts = (["a a a a b b c"] * 5) + (["d e f g h i j k"] * 3)
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(4)
+    out = heavy_hitters(ds, k=4)
+
+    c = collections.Counter()
+    for t in texts:
+        c.update(t.split(" "))
+    n = sum(c.values())
+    want = sorted((t, cnt) for t, cnt in c.items() if cnt * 4 > n)
+    assert list(map(tuple, out.itertuples(index=False))) == want
