@@ -2810,11 +2810,27 @@ def waiting_suppliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
         how="inner",
         right_cols={"s_name": "s_name"},
         est_bytes=input_bytes(f"{sf_dir}/supplier.parquet"),
-    ).to_pandas()
+    )
+
+    # Distributed tail: per-name sum (names are 1:1 with suppkeys in
+    # practice, but the groupby keeps SQL semantics if they collide),
+    # then a LOCAL top-k per block so only k rows per block reach the
+    # driver — never the full sole-returner supplier set.
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["numwait", "s_name"], ascending=[False, True]).head(k)
+        return pa.table(
+            {
+                "s_name": pa.array(df["s_name"], pa.string()),
+                "numwait": pa.array(df["numwait"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
     out = (
-        named.groupby("s_name", sort=False)["numwait"]
-        .sum()
-        .reset_index()
+        named.groupby("s_name")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
         .sort_values(["numwait", "s_name"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
