@@ -2281,11 +2281,13 @@ WITH raw AS (
   FROM urls
 ), s2 AS (
   SELECT doc_id,
-    replace(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)', 1)),
-            '://www.', '://')
-    || regexp_replace(
-         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(.*)$', 1), '/$', '')
-      AS canonical_url
+    CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+      THEN replace(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)', 1)),
+                   '://www.', '://')
+           || regexp_replace(
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(.*)$', 1), '/$', '')
+      ELSE u  -- scheme-less: pass through (mirrors canonicalize_urls)
+    END AS canonical_url
   FROM s1
 )
 SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,

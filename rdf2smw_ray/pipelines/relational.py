@@ -31,6 +31,26 @@ def _read(sf_dir: str, table: str, columns=None):
     return cached_table(sf_dir, table, columns)
 
 
+def _rev_units(price: np.ndarray, discount: np.ndarray) -> np.ndarray:
+    """Exact discounted revenue as int64 1e-4-dollar units:
+    round(price·100)·(100 − round(discount·100)). The ONE shared
+    kernel behind every exact-revenue oracle — its SQL mirror is
+    ``CAST(round(x*100) AS BIGINT) * (100 - CAST(round(d*100) AS
+    BIGINT))``. Exact integer partial sums are addition-order-free,
+    which is what keeps ROUND-to-cents stable across engines (the
+    round-3 ``nation_pair_volume`` parity flake)."""
+    cents = np.round(np.asarray(price) * 100).astype(np.int64)
+    pct = np.round(np.asarray(discount) * 100).astype(np.int64)
+    return cents * (100 - pct)
+
+
+def _half_up_dollars(units) -> float:
+    """int 1e-4-dollar units → dollars rounded HALF-UP to cents with
+    one integer division then one float division (SQL mirror:
+    ``((units + 50) // 100) / 100.0``). Valid for units ≥ 0."""
+    return ((units + 50) // 100) / 100.0
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q1-style pricing summary: filter → partial agg → final agg
 # ---------------------------------------------------------------------------
@@ -1058,9 +1078,8 @@ def shipping_priority(
         # sum's rounding is addition-order- and rounding-mode-dependent
         t = batch.filter(pc.greater(batch["l_shipdate"], cut))
         df = t.to_pandas()
-        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
-        df["rev"] = cents * (100 - pct)
+        units = _rev_units(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
+        df["rev"] = units
         g = df.groupby("l_orderkey", sort=False)["rev"].sum()
         return pa.table(
             {
@@ -1090,7 +1109,7 @@ def shipping_priority(
     def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         # exact units -> half-up to cents -> ONE float division
-        df["revenue"] = ((df["rev"].astype("int64") + 50) // 100) / 100.0
+        df["revenue"] = _half_up_dollars(df["rev"].astype("int64"))
         df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
         return table_from_pandas(df.drop(columns=["rev"]), preserve_index=False)
 
@@ -1895,14 +1914,13 @@ def nation_pair_volume(sf_dir: str) -> pd.DataFrame:
 
     def li_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        units = _rev_units(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         g = (
             pd.DataFrame(
                 {
                     "l_orderkey": df["l_orderkey"].to_numpy(),
                     "s_nationkey": df["s_nationkey"].to_numpy().astype(np.int64),
-                    "rev": cents * (100 - pct),
+                    "rev": units,
                 }
             )
             .groupby(["l_orderkey", "s_nationkey"], sort=False)["rev"]
@@ -2100,11 +2118,10 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     def li_partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
         df = t.to_pandas()
-        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        units = _rev_units(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         g = (
             pd.DataFrame(
-                {"l_orderkey": df["l_orderkey"].to_numpy(), "rev": cents * (100 - pct)}
+                {"l_orderkey": df["l_orderkey"].to_numpy(), "rev": units}
             )
             .groupby("l_orderkey", sort=False)["rev"]
             .sum()
@@ -2167,7 +2184,7 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ).to_pandas()
     out = top.merge(cdf, on="c_custkey", how="left")
     out["n_name"] = out["c_nationkey"].map(names)
-    out["revenue"] = ((out["rev"].astype("int64") + 50) // 100) / 100.0
+    out["revenue"] = _half_up_dollars(out["rev"].astype("int64"))
     out = out[["c_custkey", "c_name", "n_name", "revenue"]]
     return out.reset_index(drop=True)
 
@@ -2367,9 +2384,7 @@ def bracket_revenue(sf_dir: str) -> pd.DataFrame:
             | ((brand == "Brand#2").to_numpy() & (qty >= 10) & (qty <= 20) & (size >= 1) & (size <= 10))
             | ((brand == "Brand#3").to_numpy() & (qty >= 20) & (qty <= 30) & (size >= 1) & (size <= 15))
         )
-        cents = np.round(df["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
-        pct = np.round(df["l_discount"].to_numpy()[m] * 100).astype(np.int64)
-        units = cents * (100 - pct)
+        units = _rev_units(df["l_extendedprice"].to_numpy()[m], df["l_discount"].to_numpy()[m])
         return pa.table(
             {
                 "rev": pa.array([int(units.sum())], pa.int64()),
@@ -2384,7 +2399,7 @@ def bracket_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "n": pd.Series([int(agg["sum(n)"] or 0)], dtype="int64"),
-            "revenue": [((rev_units + 50) // 100) / 100.0],
+            "revenue": [_half_up_dollars(rev_units)],
         }
     )
 
@@ -2460,11 +2475,10 @@ def profit_by_nation_year(sf_dir: str) -> pd.DataFrame:
 
     def li_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        units = _rev_units(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
         rcents = np.round(df["p_retailprice"].to_numpy() * 100).astype(np.int64)
-        profit = cents * (100 - pct) - 100 * qty * rcents
+        profit = units - 100 * qty * rcents
         g = (
             pd.DataFrame(
                 {
@@ -2561,11 +2575,10 @@ def important_parts(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        units = _rev_units(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         g = (
             pd.DataFrame(
-                {"p_partkey": df["l_partkey"].to_numpy(), "v": cents * (100 - pct)}
+                {"p_partkey": df["l_partkey"].to_numpy(), "v": units}
             )
             .groupby("p_partkey", sort=False)["v"]
             .sum()
@@ -2586,11 +2599,15 @@ def important_parts(sf_dir: str) -> pd.DataFrame:
     )
     total = int(per_part.aggregate(Sum("value_e4"))["sum(value_e4)"])
     nparts = int(per_part.count())
+    # v·5n > 6T ⟺ v ≥ ⌊6T/(5n)⌋ + 1 — the division happens ONCE in
+    # Python unbounded ints, so the per-row comparison is a plain
+    # int64 compare and can never wrap (pc.multiply silently wraps on
+    # int64 overflow; the SQL side is safe because DuckDB promotes the
+    # cross-multiplication to HUGEINT).
+    thresh = (6 * total) // (5 * nparts) + 1
     out = (
         per_part.map_batches(
-            lambda t: t.filter(
-                pc.greater(pc.multiply(t["value_e4"], 5 * nparts), 6 * total)
-            ),
+            lambda t: t.filter(pc.greater_equal(t["value_e4"], thresh)),
             batch_format="pyarrow",
         )
         .to_pandas()
@@ -2867,9 +2884,7 @@ def cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
-        units = cents * (100 - pct)
+        units = _rev_units(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         sk = df["l_suppkey"].to_numpy().astype(np.int64)
         if len(units) and (units.max() >= (1 << 31) or units.min() < 0):
             raise ValueError("sale units out of the 2^31 packing range")

@@ -678,8 +678,10 @@ def heavy_hitters(docs, *, k: int = 32):
 
     def block(state: dict, blk) -> dict:
         t = blk if isinstance(blk, pa.Table) else table_from_pandas(blk)
-        texts = pd.Series(t["text"].to_pylist(), dtype=object).fillna("")
-        toks = texts.str.split(" ")
+        texts = pd.Series(t["text"].to_pylist(), dtype=object)
+        # NULL text contributes ZERO tokens (matches the oracle's
+        # unnest(string_split(NULL, ' ')), which emits no rows)
+        toks = texts.dropna().str.split(" ")
         nonempty = [x for x in toks if x]
         if not nonempty:
             return state
@@ -700,28 +702,35 @@ def heavy_hitters(docs, *, k: int = 32):
     cand = docs.select_columns(["text"]).aggregate(
         AggregateFn(init=lambda _k: {}, merge=merge, accumulate_block=block, name="mg")
     )["mg"]
-    cand_ref = ray.put(frozenset(cand))  # ≤k tokens
-
-    _TOTAL = "\x00total"
+    cand_ref = ray.put(frozenset(cand or {}))  # ≤k tokens
 
     def count_partial(batch: pa.Table) -> pa.Table:
         keep = ray.get(cand_ref)
-        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
-        toks = texts.str.split(" ")
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object)
+        toks = texts.dropna().str.split(" ")
         nonempty = [x for x in toks if x]
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "is_total": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
         if not nonempty:
-            return pa.table(
-                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
-            )
+            return empty
         flat = np.concatenate(nonempty).astype(object)
         uniq, inv = np.unique(flat, return_inverse=True)
         weights = np.bincount(inv).astype(np.int64)
         m = np.array([u in keep for u in uniq], dtype=bool)
-        tokens = list(uniq[m]) + [_TOTAL]
+        # the global total rides an OUT-OF-BAND flag column — an
+        # in-band sentinel token could collide with real corpus text
+        tokens = list(uniq[m]) + [""]
+        flags = [0] * int(m.sum()) + [1]
         cnts = list(weights[m]) + [int(weights.sum())]
         return pa.table(
             {
                 "token": pa.array(tokens, pa.string()),
+                "is_total": pa.array(np.asarray(flags, dtype=np.int64), pa.int64()),
                 "cnt": pa.array(np.asarray(cnts, dtype=np.int64), pa.int64()),
             }
         )
@@ -729,11 +738,21 @@ def heavy_hitters(docs, *, k: int = 32):
     counts = (
         docs.select_columns(["text"])
         .map_batches(count_partial, batch_format="pyarrow")
-        .groupby("token")
+        .groupby(["is_total", "token"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
-    total = int(counts.loc[counts["token"] == _TOTAL, "cnt"].iloc[0])
-    out = counts[(counts["token"] != _TOTAL) & (counts["cnt"] * k > total)].copy()
+    # a fully empty corpus can come back as a column-less frame
+    if counts.empty or "is_total" not in counts.columns:
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+        )
+    tot_rows = counts[counts["is_total"] == 1]
+    if tot_rows.empty:  # all-NULL corpus → typed empty result
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+        )
+    total = int(tot_rows["cnt"].iloc[0])
+    out = counts[(counts["is_total"] == 0) & (counts["cnt"] * k > total)].copy()
     out["cnt"] = out["cnt"].astype("int64")
     return out.sort_values("token").reset_index(drop=True)[["token", "cnt"]]

@@ -119,7 +119,14 @@ def canonicalize_urls(u: pd.Series) -> pd.Series:
         .str.replace("://www.", "://", regex=False)
     )
     tail = ext[1].fillna("").str.replace(r"/$", "", regex=True)
-    return head + tail
+    out = head + tail
+    # scheme-less / relative URLs don't match the head regex; pass the
+    # fragment/query-stripped string through unchanged rather than
+    # collapsing every such row to "" (which would merge all of them
+    # into one bogus dedup group)
+    no_scheme = ext[0].isna()
+    out[no_scheme] = s[no_scheme]
+    return out
 
 
 def url_dedup(pages):

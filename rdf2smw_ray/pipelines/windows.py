@@ -1071,7 +1071,10 @@ def _segmented_running_max(cents: np.ndarray, starts: np.ndarray) -> np.ndarray:
     cmax = int(cents.max())
     rng = cmax - int(cents.min()) + 1
     n_seg = int(seg[-1]) + 1
-    if (n_seg - 1) <= ((2**63 - 1) - max(cmax, 0)) // rng:
+    # rng itself can exceed int64 (one segment spanning ±2^62): then
+    # seg * rng silently promotes to float64 and corrupts the exact
+    # integer contract — the range bound must be checked too.
+    if rng <= 2**63 - 1 and (n_seg - 1) <= ((2**63 - 1) - max(cmax, 0)) // rng:
         base = seg * rng
         return np.maximum.accumulate(cents + base) - base
     run = np.empty_like(cents)

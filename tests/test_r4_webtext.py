@@ -61,6 +61,8 @@ def test_canonicalize_urls_rules():
             "http://Host.Example.com/A/B?x=1&y=2#z",  # path case preserved
             "https://ex2.org",  # no path at all
             None,
+            "example.com/a?x=1",  # scheme-less: passes through stripped
+            "//cdn.ex.org/asset.js",  # protocol-relative: not merged to ""
         ]
     )
     out = canonicalize_urls(raw)
@@ -68,6 +70,28 @@ def test_canonicalize_urls_rules():
     assert out[4] == "http://host.example.com/A/B"
     assert out[5] == "https://ex2.org"
     assert out[6] == ""
+    assert out[7] == "example.com/a"
+    assert out[8] == "//cdn.ex.org/asset.js"
+    # distinct scheme-less urls must NOT collapse into one dedup group
+    assert out[7] != out[8]
+
+
+def test_heavy_hitters_empty_and_null_corpus(ray_session):
+    """Empty / all-NULL corpora return a typed empty frame; NULL text
+    contributes zero tokens (matching unnest(string_split(NULL, ' ')))."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf2smw_ray.pipelines.sketches import heavy_hitters
+
+    empty = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = heavy_hitters(empty, k=4)
+    assert len(out) == 0 and list(out.columns) == ["token", "cnt"]
+
+    nulls = rd.from_arrow(pa.table({"text": pa.array([None, "a a b", None], pa.string())}))
+    out = heavy_hitters(nulls, k=4)
+    # total=3 tokens; a(2)*4>3 and b(1)*4>3 -> both heavy
+    assert list(map(tuple, out.itertuples(index=False))) == [("a", 2), ("b", 1)]
 
 
 def test_heavy_hitters_exact_on_tiny_corpus(ray_session):

@@ -36,7 +36,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(6)
+            # + 0.0 collapses -0.0 → 0.0 so '%.6f' can't hash a
+            # spurious '-0.000000' against the oracle's '0.000000'
+            df[c] = df[c].astype("float64").round(6) + 0.0
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif not pd.api.types.is_object_dtype(df[c]) and not pd.api.types.is_string_dtype(df[c]):
