@@ -2357,6 +2357,8 @@ def all_queries():
         "part_supplier_counts": relational.part_supplier_counts,
         "waiting_suppliers": relational.waiting_suppliers,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
+        "value_quartiles_per_event_type": relational.value_quartiles_per_event_type,
+        "distinct_users_per_hour": relational.distinct_users_per_hour,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
@@ -2593,6 +2595,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "part_supplier_counts": relational.PART_SUPPLIER_COUNTS_SQL,
         "waiting_suppliers": relational.WAITING_SUPPLIERS_SQL,
         "cheapest_supplier_per_part": relational.CHEAPEST_SUPPLIER_SQL,
+        "value_quartiles_per_event_type": relational.VALUE_QUARTILES_SQL,
+        "distinct_users_per_hour": relational.DISTINCT_USERS_PER_HOUR_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

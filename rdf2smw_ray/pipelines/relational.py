@@ -2940,3 +2940,103 @@ SELECT p_partkey,
        CAST(packed // 4294967296 AS BIGINT) AS min_units
 FROM u ORDER BY p_partkey
 """
+
+
+def value_quartiles_per_event_type(sf_dir: str) -> pd.DataFrame:
+    """p25/p50/p75 per key from ONE shared histogram-refinement drive
+    (``sketches.exact_percentiles_per_key`` — k order statistics cost
+    the same table scans as one; no task ever holds a whole group).
+    PERCENTILE_DISC semantics: each quartile is an actual data value
+    at 1-based rank ⌈q·n⌉, so value·100 is an exact integer both
+    engines agree on."""
+    from rdf2smw_ray.pipelines.sketches import exact_percentiles_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = exact_percentiles_per_key(
+        ds,
+        "event_type",
+        "value",
+        [(1, 4, "p25"), (2, 4, "p50"), (3, 4, "p75")],
+        exact_threshold=120,
+    )
+    for c in ("p25", "p50", "p75"):
+        out[c + "_cents"] = np.round(out[c].values * 100).astype(np.int64)
+    return (
+        out[["event_type", "p25_cents", "p50_cents", "p75_cents"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+VALUE_QUARTILES_SQL = """
+WITH o AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  CAST(ROUND(MAX(CASE WHEN rk = (n + 3) // 4 THEN value END) * 100) AS BIGINT) AS p25_cents,
+  CAST(ROUND(MAX(CASE WHEN rk = (2 * n + 3) // 4 THEN value END) * 100) AS BIGINT) AS p50_cents,
+  CAST(ROUND(MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN value END) * 100) AS BIGINT) AS p75_cents
+FROM o GROUP BY event_type ORDER BY event_type
+"""
+
+
+def distinct_users_per_hour(sf_dir: str) -> pd.DataFrame:
+    """Windowed COUNT DISTINCT — unique users per event-hour, the
+    streaming-analytics staple. Combiner-first two-level distinct
+    (per-batch (hour, user) dedup → one composite-key shuffle →
+    per-batch hour counts → tiny final groupby): raw event rows never
+    move, only ≤1 row per (hour, user) per block."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {
+                "hour_id": ts_us // 3_600_000_000,
+                "user_id": batch["user_id"].to_numpy(),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "hour_id": pa.array(g["hour_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby(["hour_id", "user_id"])
+        .aggregate(Count(alias_name="_dup"))
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("hour_id", sort=False).size()
+        return pa.table(
+            {
+                "hour_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "n": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        distinct.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("hour_id")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["hour_id"] = out["hour_id"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("hour_id").reset_index(drop=True)
+
+
+DISTINCT_USERS_PER_HOUR_SQL = """
+SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY hour_id ORDER BY hour_id
+"""
