@@ -2359,6 +2359,8 @@ def all_queries():
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "value_quartiles_per_event_type": relational.value_quartiles_per_event_type,
         "distinct_users_per_hour": relational.distinct_users_per_hour,
+        "market_share_by_year": relational.market_share_by_year,
+        "widget_volume_suppliers": relational.widget_volume_suppliers,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
@@ -2597,6 +2599,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "cheapest_supplier_per_part": relational.CHEAPEST_SUPPLIER_SQL,
         "value_quartiles_per_event_type": relational.VALUE_QUARTILES_SQL,
         "distinct_users_per_hour": relational.DISTINCT_USERS_PER_HOUR_SQL,
+        "market_share_by_year": relational.MARKET_SHARE_SQL,
+        "widget_volume_suppliers": relational.WIDGET_VOLUME_SUPPLIERS_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

@@ -3040,3 +3040,253 @@ SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY hour_id ORDER BY hour_id
 """
+
+
+def market_share_by_year(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: within EUROPE-region customers' orders, the
+    revenue share supplied by ONE target nation (alphabetically first
+    European nation — derived from the dimension data identically in
+    both engines), per order year.
+
+    Plan: the orders side carries only (orderkey, year) for European
+    customers (customer attach via the size-gated join); the lineitem
+    side pre-reduces per orderkey to TWO exact int64 unit sums — total
+    and target-nation — inside map_batches, so the one big-big
+    exchange ships three integers per order. The share is one float
+    division of exact BIGINT sums per year, ROUND(,6)-stable."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    eu = int(region.loc[region["r_name"] == "EUROPE", "r_regionkey"].iloc[0])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    euro = nation[nation["n_regionkey"] == eu]
+    target_key = int(euro.loc[euro["n_name"].idxmin(), "n_nationkey"])
+    euro_keys_ref = ray.put(frozenset(int(x) for x in euro["n_nationkey"]))
+
+    # orders side: (o_orderkey, o_year) for European customers only
+    def euro_cust(batch: pa.Table) -> pa.Table:
+        keys = ray.get(euro_keys_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(nk, list(keys))))
+
+    orders_side = bucketed_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+            euro_cust, batch_format="pyarrow"
+        ),
+        key="o_custkey",
+        right_key="c_custkey",
+        how="semi",
+        est_bytes=input_bytes(f"{sf_dir}/customer.parquet"),
+        select=["o_orderkey", "o_orderdate"],
+    )
+
+    # lineitem side: per-orderkey (total_units, target_units)
+    li = bucketed_join(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        key="l_suppkey",
+        right_key="s_suppkey",
+        how="inner",
+        right_cols={"s_nationkey": "s_nationkey"},
+        est_bytes=input_bytes(f"{sf_dir}/supplier.parquet"),
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        units = _rev_units(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
+        tgt = np.where(df["s_nationkey"].to_numpy() == target_key, units, 0)
+        g = (
+            pd.DataFrame(
+                {"l_orderkey": df["l_orderkey"].to_numpy(), "total": units, "tgt": tgt}
+            )
+            .groupby("l_orderkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "total": pa.array(g["total"].to_numpy(), pa.int64()),
+                "tgt": pa.array(g["tgt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    joined = bucketed_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders_side,
+        key="l_orderkey",
+        right_key="o_orderkey",
+        how="inner",
+        right_cols={"o_orderdate": "o_orderdate"},
+        est_bytes=input_bytes(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"),
+    )
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        year = pd.to_datetime(df["o_orderdate"]).dt.year.to_numpy().astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "o_year": year,
+                    "total": df["total"].to_numpy(),
+                    "tgt": df["tgt"].to_numpy(),
+                }
+            )
+            .groupby("o_year", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
+                "total": pa.array(g["total"].to_numpy(), pa.int64()),
+                "tgt": pa.array(g["tgt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("total", alias_name="total"), Sum("tgt", alias_name="tgt"))
+        .to_pandas()
+    )
+    out["o_year"] = out["o_year"].astype("int64")
+    out["mkt_share"] = np.round(
+        out["tgt"].astype("int64").to_numpy() / out["total"].astype("int64").to_numpy(), 6
+    )
+    return (
+        out[["o_year", "mkt_share"]].sort_values("o_year").reset_index(drop=True)
+    )
+
+
+MARKET_SHARE_SQL = """
+WITH tgt_nation AS (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+  ORDER BY n_name LIMIT 1
+), rev AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units,
+         CASE WHEN s_nationkey = (SELECT n_nationkey FROM tgt_nation)
+              THEN 1 ELSE 0 END AS is_tgt
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+)
+SELECT o_year,
+       ROUND(CAST(SUM(units * is_tgt) AS DOUBLE)
+             / CAST(SUM(units) AS DOUBLE), 6) AS mkt_share
+FROM rev GROUP BY o_year ORDER BY o_year
+"""
+
+
+def widget_volume_suppliers(sf_dir: str, qty_threshold: int = 300) -> pd.DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp — 'excess availability'
+    becomes total sold quantity): suppliers who moved more than
+    ``qty_threshold`` units of widget parts. LIKE-filtered part keys
+    ride the size-gated semi join; per-supplier quantity pre-sums per
+    batch; the HAVING survivors attach names via the gated join."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+    from rdf2smw_ray.tuning import input_bytes
+
+    widget_parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t.filter(
+                    pa.array(
+                        pd.Series(t["p_name"].to_pylist(), dtype=object)
+                        .str.contains("widget", regex=False)
+                        .to_numpy(dtype=bool)
+                    )
+                )["p_partkey"]
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = bucketed_join(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"]),
+        widget_parts,
+        key="l_partkey",
+        right_key="p_partkey",
+        how="semi",
+        est_bytes=input_bytes(f"{sf_dir}/part.parquet"),
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            pd.DataFrame(
+                {
+                    "l_suppkey": df["l_suppkey"].to_numpy(),
+                    "q": np.round(df["l_quantity"].to_numpy()).astype(np.int64),
+                }
+            )
+            .groupby("l_suppkey", sort=False)["q"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "l_suppkey": pa.array(g.index.to_numpy(), pa.int64()),
+                "q": pa.array(g.to_numpy(), pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    per_supp = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("q", alias_name="total_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["total_qty"], qty_threshold)),
+            batch_format="pyarrow",
+        )
+    )
+    named = bucketed_join(
+        per_supp,
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        key="l_suppkey",
+        right_key="s_suppkey",
+        how="inner",
+        right_cols={"s_name": "s_name"},
+        est_bytes=input_bytes(f"{sf_dir}/supplier.parquet"),
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "s_name": named["s_name"],
+            "total_qty": named["total_qty"].astype("int64"),
+        }
+    )
+    return out.sort_values("s_name").reset_index(drop=True)
+
+
+WIDGET_VOLUME_SUPPLIERS_SQL = """
+SELECT s_name, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+GROUP BY s_name HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300
+ORDER BY s_name
+"""
