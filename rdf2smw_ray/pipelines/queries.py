@@ -2361,6 +2361,7 @@ def all_queries():
         "distinct_users_per_hour": relational.distinct_users_per_hour,
         "market_share_by_year": relational.market_share_by_year,
         "widget_volume_suppliers": relational.widget_volume_suppliers,
+        "small_quantity_revenue": relational.small_quantity_revenue,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
@@ -2601,6 +2602,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "distinct_users_per_hour": relational.DISTINCT_USERS_PER_HOUR_SQL,
         "market_share_by_year": relational.MARKET_SHARE_SQL,
         "widget_volume_suppliers": relational.WIDGET_VOLUME_SUPPLIERS_SQL,
+        "small_quantity_revenue": relational.SMALL_QUANTITY_REVENUE_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

@@ -3290,3 +3290,102 @@ WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
 GROUP BY s_name HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300
 ORDER BY s_name
 """
+
+
+def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape — the correlated scalar subquery: revenue from
+    lineitems whose quantity is below 0.2× their OWN part's average
+    quantity. Two passes: a combiner-first per-part (sum_qty, count)
+    aggregate, joined back onto lineitem via the size-gated join (the
+    aggregate is #parts-sized — broadcast while small, co-shuffle at
+    scale), then the predicate runs as pure-integer cross-
+    multiplication (qty·5·cnt < sum_qty ⟺ qty < 0.2·avg — no float
+    average, no rounding divergence) and revenue sums as exact units."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.stages.join import bucketed_join
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            pd.DataFrame(
+                {
+                    "p_partkey": df["l_partkey"].to_numpy(),
+                    "sq": np.round(df["l_quantity"].to_numpy()).astype(np.int64),
+                    "cnt": np.ones(len(df), dtype=np.int64),
+                }
+            )
+            .groupby("p_partkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(g["p_partkey"].to_numpy(), pa.int64()),
+                "sq": pa.array(g["sq"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    per_part = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    from rdf2smw_ray.tuning import dataset_est_bytes
+
+    joined = bucketed_join(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ),
+        per_part,
+        key="l_partkey",
+        right_key="p_partkey",
+        how="inner",
+        right_cols={"sq": "sq", "cnt": "cnt"},
+        est_bytes=dataset_est_bytes(per_part),
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        keep = qty * 5 * df["cnt"].to_numpy() < df["sq"].to_numpy()
+        units = _rev_units(
+            df["l_extendedprice"].to_numpy()[keep], df["l_discount"].to_numpy()[keep]
+        )
+        return pa.table(
+            {
+                "rev_e4": pa.array([int(units.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg = joined.map_batches(rev_partial, batch_format="pyarrow").aggregate(
+        Sum("rev_e4"), Sum("n")
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(agg["sum(n)"] or 0)], dtype="int64"),
+            "rev_e4": pd.Series([int(agg["sum(rev_e4)"] or 0)], dtype="int64"),
+        }
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(round(l_quantity) AS BIGINT)) AS sq,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT) AS rev_e4
+FROM lineitem JOIN pq ON l_partkey = pk
+WHERE CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sq
+"""
