@@ -2362,6 +2362,8 @@ def all_queries():
         "market_share_by_year": relational.market_share_by_year,
         "widget_volume_suppliers": relational.widget_volume_suppliers,
         "small_quantity_revenue": relational.small_quantity_revenue,
+        "forecast_revenue": relational.forecast_revenue,
+        "top_supplier": relational.top_supplier,
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
@@ -2603,6 +2605,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "market_share_by_year": relational.MARKET_SHARE_SQL,
         "widget_volume_suppliers": relational.WIDGET_VOLUME_SUPPLIERS_SQL,
         "small_quantity_revenue": relational.SMALL_QUANTITY_REVENUE_SQL,
+        "forecast_revenue": relational.FORECAST_REVENUE_SQL,
+        "top_supplier": relational.TOP_SUPPLIER_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

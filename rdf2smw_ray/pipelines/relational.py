@@ -3389,3 +3389,131 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
 FROM lineitem JOIN pq ON l_partkey = pk
 WHERE CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sq
 """
+
+
+def forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: revenue delta from a range-predicate scan
+    (shipdate year, discount band, quantity cap) — no join, one pass,
+    pruned at the read. Revenue here is price·discount, so the exact
+    unit is cents·disc_pct (1e-4 dollars), summed as BIGINT."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ship = pd.to_datetime(df["l_shipdate"])
+        pct = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        m = (
+            (ship >= lo).to_numpy()
+            & (ship < hi).to_numpy()
+            & (pct >= 5)
+            & (pct <= 7)
+            & (qty < 24)
+        )
+        cents = np.round(df["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        units = cents * pct[m]
+        return pa.table(
+            {
+                "rev_e4": pa.array([int(units.sum())], pa.int64()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev_e4"), Sum("n")
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(agg["sum(n)"] or 0)], dtype="int64"),
+            "rev_e4": pd.Series([int(agg["sum(rev_e4)"] or 0)], dtype="int64"),
+        }
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+         AS rev_e4
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity) AS BIGINT) < 24
+"""
+
+
+def top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose windowed revenue EQUALS
+    the global maximum — a per-key aggregate filtered against a
+    global-MAX scalar (Q11's cousin with = instead of >). The per-
+    supplier aggregate materializes once and feeds both the max and
+    the filter; everything stays exact BIGINT so ties are exact too."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ship = pd.to_datetime(df["l_shipdate"])
+        m = (ship >= lo).to_numpy() & (ship < hi).to_numpy()
+        df = df[m]
+        units = _rev_units(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
+        g = (
+            pd.DataFrame({"s_suppkey": df["l_suppkey"].to_numpy(), "rev_e4": units})
+            .groupby("s_suppkey", sort=False)["rev_e4"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "s_suppkey": pa.array(g.index.to_numpy(), pa.int64()),
+                "rev_e4": pa.array(g.to_numpy(), pa.int64()),
+            }
+        )
+
+    per_supp = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .materialize()
+    )
+    best = int(per_supp.aggregate(Max("rev_e4"))["max(rev_e4)"])
+    out = (
+        per_supp.map_batches(
+            lambda t: t.filter(pc.equal(t["rev_e4"], best)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["rev_e4"] = out["rev_e4"].astype("int64")
+    return out
+
+
+TOP_SUPPLIER_SQL = """
+WITH sv AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, rev_e4 FROM sv
+WHERE rev_e4 = (SELECT MAX(rev_e4) FROM sv)
+ORDER BY s_suppkey
+"""
