@@ -278,6 +278,10 @@ def run_queries(num_cpus: int) -> dict:
         "late_lineitems_by_priority",
         "heavy_hitters",
         "url_dedup",
+        "market_share_by_year",
+        "small_quantity_revenue",
+        "distinct_users_per_hour",
+        "value_quartiles_per_event_type",
     ]
     q = all_queries()
     times = {}
