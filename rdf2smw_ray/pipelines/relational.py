@@ -2984,55 +2984,25 @@ FROM o GROUP BY event_type ORDER BY event_type
 
 
 def distinct_users_per_hour(sf_dir: str) -> pd.DataFrame:
-    """Windowed COUNT DISTINCT — unique users per event-hour, the
-    streaming-analytics staple. Combiner-first two-level distinct
-    (per-batch (hour, user) dedup → one composite-key shuffle →
-    per-batch hour counts → tiny final groupby): raw event rows never
-    move, only ≤1 row per (hour, user) per block."""
-    from ray.data.aggregate import Count, Sum
+    """Windowed COUNT DISTINCT — unique users per event-hour. A
+    TUMBLING 1-hour window is the hopping window with size == hop ==
+    1h, so this is a thin wrapper over
+    ``windows.hopping_window_distinct_users`` (same combiner-first
+    two-level distinct; one implementation to maintain), with the
+    window start remapped to an hour id."""
+    from rdf2smw_ray.pipelines.windows import hopping_window_distinct_users
 
-    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
-
-    def dedup_partial(batch: pa.Table) -> pa.Table:
-        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        g = pd.DataFrame(
+    out = hopping_window_distinct_users(sf_dir, size_hours=1, hop_hours=1)
+    return (
+        pd.DataFrame(
             {
-                "hour_id": ts_us // 3_600_000_000,
-                "user_id": batch["user_id"].to_numpy(),
-            }
-        ).drop_duplicates()
-        return pa.table(
-            {
-                "hour_id": pa.array(g["hour_id"].to_numpy(), pa.int64()),
-                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "hour_id": (out["ws_us"].to_numpy() // 3_600_000_000).astype("int64"),
+                "n_users": out["n_users"].astype("int64"),
             }
         )
-
-    distinct = (
-        ds.map_batches(dedup_partial, batch_format="pyarrow")
-        .groupby(["hour_id", "user_id"])
-        .aggregate(Count(alias_name="_dup"))
+        .sort_values("hour_id")
+        .reset_index(drop=True)
     )
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("hour_id", sort=False).size()
-        return pa.table(
-            {
-                "hour_id": pa.array(g.index.to_numpy(), pa.int64()),
-                "n": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
-            }
-        )
-
-    out = (
-        distinct.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("hour_id")
-        .aggregate(Sum("n", alias_name="n_users"))
-        .to_pandas()
-    )
-    out["hour_id"] = out["hour_id"].astype("int64")
-    out["n_users"] = out["n_users"].astype("int64")
-    return out.sort_values("hour_id").reset_index(drop=True)
 
 
 DISTINCT_USERS_PER_HOUR_SQL = """
@@ -3054,8 +3024,6 @@ def market_share_by_year(sf_dir: str) -> pd.DataFrame:
     and target-nation — inside map_batches, so the one big-big
     exchange ships three integers per order. The share is one float
     division of exact BIGINT sums per year, ROUND(,6)-stable."""
-    import ray
-
     import pyarrow.parquet as pq
 
     from rdf2smw_ray.stages.join import bucketed_join
@@ -3070,13 +3038,14 @@ def market_share_by_year(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     euro = nation[nation["n_regionkey"] == eu]
     target_key = int(euro.loc[euro["n_name"].idxmin(), "n_nationkey"])
-    euro_keys_ref = ray.put(frozenset(int(x) for x in euro["n_nationkey"]))
+    # ≤25 ints: plain closure capture, not a ray.put broadcast (that
+    # pattern is for dimension TABLES, not a handful of keys)
+    euro_keys = np.sort(euro["n_nationkey"].to_numpy().astype(np.int64))
 
     # orders side: (o_orderkey, o_year) for European customers only
     def euro_cust(batch: pa.Table) -> pa.Table:
-        keys = ray.get(euro_keys_ref)
         nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(nk, list(keys))))
+        return batch.filter(pa.array(np.isin(nk, euro_keys)))
 
     orders_side = bucketed_join(
         _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
@@ -3200,12 +3169,15 @@ FROM rev GROUP BY o_year ORDER BY o_year
 """
 
 
-def widget_volume_suppliers(sf_dir: str, qty_threshold: int = 300) -> pd.DataFrame:
+def widget_volume_suppliers(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q20 shape (adapted: no partsupp — 'excess availability'
-    becomes total sold quantity): suppliers who moved more than
-    ``qty_threshold`` units of widget parts. LIKE-filtered part keys
-    ride the size-gated semi join; per-supplier quantity pre-sums per
-    batch; the HAVING survivors attach names via the gated join."""
+    becomes total sold quantity): suppliers who moved more than 300
+    units of widget parts (the threshold is fixed because the paired
+    oracle SQL hardcodes it — a parameter here would silently diverge
+    from the gate). LIKE-filtered part keys ride the size-gated semi
+    join; per-supplier quantity pre-sums per batch; the HAVING
+    survivors attach names via the gated join."""
+    qty_threshold = 300
     from ray.data.aggregate import Sum
 
     from rdf2smw_ray.stages.join import bucketed_join
@@ -3336,8 +3308,11 @@ def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         .materialize()
     )
 
-    from rdf2smw_ray.tuning import dataset_est_bytes
+    from rdf2smw_ray.tuning import dataset_est_bytes, input_bytes
 
+    # shuffle width must be sized from BOTH sides — the broadcast gate
+    # measures per_part, but when that side outgrows the gate the
+    # co-shuffle moves the whole ~25-30x larger lineitem too
     joined = bucketed_join(
         _read(
             sf_dir,
@@ -3349,7 +3324,8 @@ def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         right_key="p_partkey",
         how="inner",
         right_cols={"sq": "sq", "cnt": "cnt"},
-        est_bytes=dataset_est_bytes(per_part),
+        est_bytes=input_bytes(f"{sf_dir}/lineitem.parquet")
+        + dataset_est_bytes(per_part),
     )
 
     def rev_partial(batch: pa.Table) -> pa.Table:
@@ -3491,7 +3467,16 @@ def top_supplier(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("rev_e4", alias_name="rev_e4"))
         .materialize()
     )
-    best = int(per_supp.aggregate(Max("rev_e4"))["max(rev_e4)"])
+    agg = per_supp.aggregate(Max("rev_e4"))
+    best_raw = agg["max(rev_e4)"] if agg else None
+    if best_raw is None:  # no lineitem in the window → empty result
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "rev_e4": pd.Series([], dtype="int64"),
+            }
+        )
+    best = int(best_raw)
     out = (
         per_supp.map_batches(
             lambda t: t.filter(pc.equal(t["rev_e4"], best)), batch_format="pyarrow"
