@@ -676,3 +676,71 @@ r AS (
 SELECT vec_id, nbr_id, CAST(rk AS BIGINT) AS rk, ROUND(s, 4) AS score
 FROM r WHERE rk <= 3 ORDER BY vec_id, rk
 """
+
+
+def semantic_dedup(
+    embeddings,
+    *,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    concurrency: int = 4,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): spherical k-means clusters the
+    corpus, then near-duplicates are detected ONLY within each cluster
+    (the whole point: pairwise cosine is O(c²) per cluster instead of
+    O(n²) global; recall holds because true semantic dupes are, by
+    construction, nearest neighbours that co-locate in a cluster).
+
+    Deterministic keep rule: within a cluster, rows are visited in
+    vec_id order and row j is a DUPLICATE iff some earlier row i<j has
+    cosine(i, j) ≥ threshold — global first-wins, the same contract as
+    the exact/LSH dedup family. With ``n_lists=1`` this reproduces the
+    brute-force global rule exactly (pytest-pinned).
+
+    Scale notes: centroids train on a bounded sample (never a full
+    materialization); assignment is one streamed matmul per batch;
+    the per-cluster O(c²) verify runs inside ``map_groups`` over the
+    cluster id — size ``n_lists`` ~ n / target_cluster_size so each
+    cluster's cosine matrix fits a task (the knob the SemDeDup paper
+    turns too; tile the within-cluster matmul like ``knn_graph`` if a
+    single cluster must exceed task memory).
+
+    Returns a Dataset of (vec_id, keep, dup_of) — ``dup_of`` is the
+    keeper that evicted the row (-1 for keepers)."""
+
+    cent = train_ivf_centroids(embeddings, n_lists=n_lists)
+    assigned = ivf_assign(
+        embeddings.select_columns(["vec_id", "embedding"]), cent, concurrency=concurrency
+    )
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id").reset_index(drop=True)
+        mat = _unit(np.asarray(df["embedding"].tolist(), dtype=np.float64))
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "keep": pd.Series([], dtype=bool),
+                    "dup_of": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        # greedy first-wins over the KEPT set: j is a dup only of a
+        # kept earlier row (matches the exact-dedup family contract)
+        for j in range(1, n):
+            sims = mat[:j][keep[:j]] @ mat[j]
+            if len(sims):
+                m = int(np.argmax(sims))
+                if sims[m] >= threshold:
+                    keep[j] = False
+                    dup_of[j] = ids[np.flatnonzero(keep[:j])[m]]
+        return pd.DataFrame({"vec_id": ids, "keep": keep, "dup_of": dup_of})
+
+    return (
+        assigned.groupby("list_id")
+        .map_groups(per_cluster, batch_format="pandas")
+    )

@@ -2204,6 +2204,21 @@ def q_media_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style cluster-then-dedup over the embeddings table.
+    Rows-only in the gate (k-means is not SQL-expressible); the
+    semantics are pytest-pinned instead: n_lists=1 reproduces the
+    brute-force global first-wins rule exactly, and the clustered
+    path achieves full recall on the fixture's near-dup pairs
+    (tests/test_r4_webtext.py)."""
+    from rdf2smw_ray.pipelines.ann import semantic_dedup
+
+    out = semantic_dedup(_emb(sf_dir), threshold=0.95, n_lists=8).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["dup_of"] = out["dup_of"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact heavy hitters over the corpus tokens via the two-pass
     Misra–Gries scheme — a SKETCH drives pass 1 (bounded memory
@@ -2370,6 +2385,7 @@ def all_queries():
         "fuzzy_part_canon": fuzzy.fuzzy_part_canon,
         "heavy_hitters": q_heavy_hitters,
         "url_dedup": q_url_dedup,
+        "semantic_dedup": q_semantic_dedup,
         # text analysis
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,

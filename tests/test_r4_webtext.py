@@ -113,3 +113,82 @@ def test_heavy_hitters_exact_on_tiny_corpus(ray_session):
     n = sum(c.values())
     want = sorted((t, cnt) for t, cnt in c.items() if cnt * 4 > n)
     assert list(map(tuple, out.itertuples(index=False))) == want
+
+
+def _brute_first_wins(ids, mat, threshold):
+    """Reference: global greedy first-wins dedup over kept rows."""
+    import numpy as np
+
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    n = len(ids)
+    keep = np.ones(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    for j in range(1, n):
+        kept_idx = np.flatnonzero(keep[:j])
+        if len(kept_idx):
+            sims = mat[kept_idx] @ mat[j]
+            m = int(np.argmax(sims))
+            if sims[m] >= threshold:
+                keep[j] = False
+                dup_of[j] = ids[kept_idx[m]]
+    return ids, keep, dup_of
+
+
+def test_semantic_dedup_single_cluster_equals_brute_force(ray_session):
+    """n_lists=1 puts everything in one cluster, so the clustered path
+    must reproduce the brute-force global first-wins rule exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.ann import _unit, semantic_dedup
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        semantic_dedup(cached_table(sf, "embeddings"), threshold=0.95, n_lists=1)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    mat = _unit(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    rids, rkeep, rdup = _brute_first_wins(ids.astype(np.int64), mat, 0.95)
+    assert (out["vec_id"].to_numpy() == rids).all()
+    assert (out["keep"].to_numpy() == rkeep).all()
+    assert (out["dup_of"].to_numpy() == rdup).all()
+
+
+def test_semantic_dedup_clustered_full_recall(ray_session):
+    """The clustered path (n_lists=8) removes the SAME rows as the
+    global rule on this fixture: true near-dups are nearest
+    neighbours, so they co-locate in one k-means cluster."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.ann import _unit, semantic_dedup
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        semantic_dedup(cached_table(sf, "embeddings"), threshold=0.95, n_lists=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    mat = _unit(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    _, rkeep, _ = _brute_first_wins(ids, mat, 0.95)
+    removed_global = set(ids[~rkeep])
+    removed_clustered = set(out.loc[~out["keep"], "vec_id"])
+    assert removed_clustered == removed_global
+    # determinism across runs
+    out2 = (
+        semantic_dedup(cached_table(sf, "embeddings"), threshold=0.95, n_lists=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
