@@ -238,17 +238,57 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / n[:, None]
 
 
-def train_ivf_centroids(
-    embeddings, *, n_lists: int = 16, sample_size: int = 2048, iters: int = 10
-) -> np.ndarray:
-    """Spherical k-means on a deterministic bounded sample (vec_id <
-    sample_size — NOT a full materialization). Returns unit centroids."""
-    import pyarrow.compute as pc
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — the deterministic per-row hash gate for
+    centroid sampling (no seed state, no order dependence)."""
+    z = x.astype(np.uint64, copy=True) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
-    sample_tbl = embeddings.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], sample_size)),
-        batch_format="pyarrow",
-    ).to_pandas()
+
+def train_ivf_centroids(
+    embeddings,
+    *,
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    total_count: int | None = None,
+) -> np.ndarray:
+    """Spherical k-means on a deterministic bounded sample — NOT a
+    full materialization, and NOT a ``vec_id < sample_size`` prefix
+    (a prefix is biased under any correlation between insert order and
+    content): rows are gated by ``splitmix64(vec_id)``, i.e. a uniform
+    hash-ordered sample of the whole corpus, then the smallest
+    ``sample_size`` hashes are kept. When the corpus fits inside
+    ``sample_size`` the gate passes everything (identical to training
+    on the full corpus). Returns unit centroids."""
+    if total_count is None:
+        total_count = embeddings.count()
+
+    if total_count <= sample_size:
+        sample_tbl = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
+    else:
+        # keep rows whose 32-bit hash prefix falls under an oversampled
+        # rate (2x target), then trim to exactly sample_size smallest
+        # hashes on the driver — unbiased, deterministic, bounded
+        rate = min(1.0, (2.0 * sample_size) / total_count)
+        thr = np.uint64(int(rate * float(2**32)))
+
+        def gate(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _splitmix64(ids.view(np.uint64)) >> np.uint64(32)
+            return t.filter(pa.array(h < thr))
+
+        sample_tbl = (
+            embeddings.select_columns(["vec_id", "embedding"])
+            .map_batches(gate, batch_format="pyarrow")
+            .to_pandas()
+        )
+        ids = sample_tbl["vec_id"].to_numpy().astype(np.int64)
+        h = _splitmix64(ids.view(np.uint64))
+        order = np.lexsort((ids, h))[:sample_size]
+        sample_tbl = sample_tbl.iloc[order]
     # block arrival order is nondeterministic — fix the row order so
     # k-means init (seeded rng over row indices) is reproducible
     sample_tbl = sample_tbl.sort_values("vec_id").reset_index(drop=True)
@@ -682,7 +722,10 @@ def semantic_dedup(
     embeddings,
     *,
     threshold: float = 0.95,
-    n_lists: int = 16,
+    n_lists: int | str = "auto",
+    target_cluster_size: int = 4096,
+    chunk_rows: int = 512,
+    kept_tile_rows: int = 8192,
     concurrency: int = 4,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -698,27 +741,49 @@ def semantic_dedup(
     the exact/LSH dedup family. With ``n_lists=1`` this reproduces the
     brute-force global rule exactly (pytest-pinned).
 
-    Scale notes: centroids train on a bounded sample (never a full
-    materialization); assignment is one streamed matmul per batch;
-    the per-cluster O(c²) verify runs inside ``map_groups`` over the
-    cluster id — size ``n_lists`` ~ n / target_cluster_size so each
-    cluster's cosine matrix fits a task (the knob the SemDeDup paper
-    turns too; tile the within-cluster matmul like ``knn_graph`` if a
-    single cluster must exceed task memory).
+    Scale notes: ``n_lists="auto"`` (the default) derives the cluster
+    count from the CORPUS SIZE — ceil(count / target_cluster_size),
+    floored at 1 — so cluster size stays ~constant as the corpus
+    grows (a fixed n_lists makes cluster size ∝ corpus size, which is
+    unbounded at 100 TB). Centroids train on a hash-gated bounded
+    sample (never a full materialization, never an insert-order-biased
+    prefix); assignment is one streamed matmul per batch; the
+    per-cluster O(c²) verify runs inside ``map_groups`` over the
+    cluster id and is CHUNKED: rows are processed ``chunk_rows`` at a
+    time with ONE matmul per chunk against the kept set (tiled at
+    ``kept_tile_rows`` rows so peak memory is bounded even when a
+    skewed cluster far exceeds the target size) — not one matmul per
+    row.
 
     Returns a Dataset of (vec_id, keep, dup_of) — ``dup_of`` is the
     keeper that evicted the row (-1 for keepers)."""
+    total = embeddings.count()
+    if total == 0:
+        # nothing to cluster — k-means on zero rows is undefined;
+        # return the empty result with the declared schema
+        import ray
 
-    cent = train_ivf_centroids(embeddings, n_lists=n_lists)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.bool_()),
+                    "dup_of": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_lists == "auto":
+        n_lists = max(1, min(65536, -(-total // target_cluster_size)))
+
+    cent = train_ivf_centroids(embeddings, n_lists=n_lists, total_count=total)
     assigned = ivf_assign(
         embeddings.select_columns(["vec_id", "embedding"]), cent, concurrency=concurrency
     )
 
     def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("vec_id").reset_index(drop=True)
-        mat = _unit(np.asarray(df["embedding"].tolist(), dtype=np.float64))
-        n = len(df)
-        if n == 0:
+        # empty guard BEFORE any matrix work: np.asarray([]) is 1-D and
+        # would crash the axis=1 norm inside _unit
+        if len(df) == 0:
             return pd.DataFrame(
                 {
                     "vec_id": pd.Series([], dtype="int64"),
@@ -726,18 +791,56 @@ def semantic_dedup(
                     "dup_of": pd.Series([], dtype="int64"),
                 }
             )
+        df = df.sort_values("vec_id").reset_index(drop=True)
+        mat = _unit(np.asarray(df["embedding"].tolist(), dtype=np.float64))
+        n = len(df)
         ids = df["vec_id"].to_numpy().astype(np.int64)
         keep = np.ones(n, dtype=bool)
         dup_of = np.full(n, -1, dtype=np.int64)
-        # greedy first-wins over the KEPT set: j is a dup only of a
-        # kept earlier row (matches the exact-dedup family contract)
-        for j in range(1, n):
-            sims = mat[:j][keep[:j]] @ mat[j]
-            if len(sims):
-                m = int(np.argmax(sims))
-                if sims[m] >= threshold:
-                    keep[j] = False
-                    dup_of[j] = ids[np.flatnonzero(keep[:j])[m]]
+        # greedy first-wins over the KEPT set (j is a dup only of a
+        # kept earlier row — the exact-dedup family contract),
+        # processed in chunks: one (kept x chunk) matmul per chunk —
+        # tiled over the kept set — plus one (chunk x chunk) matmul,
+        # instead of one growing matmul per row. Semantics identical:
+        # dup_of = FIRST argmax over all kept earlier rows (ties go to
+        # the earliest kept row, which the [prior-kept | in-chunk-kept]
+        # ordering and strict '>' tile updates preserve).
+        kept_mat = np.empty((0, mat.shape[1]), dtype=np.float64)
+        kept_ids = np.empty(0, dtype=np.int64)
+        for start in range(0, n, chunk_rows):
+            stop = min(start + chunk_rows, n)
+            cmat = mat[start:stop]
+            m = stop - start
+            best_sim = np.full(m, -np.inf)
+            best_id = np.full(m, -1, dtype=np.int64)
+            for t0 in range(0, len(kept_mat), kept_tile_rows):
+                s = kept_mat[t0 : t0 + kept_tile_rows] @ cmat.T  # (tile, m)
+                am = s.argmax(axis=0)
+                mv = s[am, np.arange(m)]
+                upd = mv > best_sim  # strict: earlier tile wins ties
+                best_sim[upd] = mv[upd]
+                best_id[upd] = kept_ids[t0 + am[upd]]
+            inner = cmat @ cmat.T  # (m, m)
+            in_kept: list[int] = []  # chunk-local indices kept so far
+            for j in range(m):
+                win_sim, win_id = best_sim[j], best_id[j]
+                if in_kept:
+                    sj = inner[in_kept, j]
+                    a = int(np.argmax(sj))
+                    # prior-kept rows precede in-chunk rows in the
+                    # global kept order, so ties go to prior (>=)
+                    if not (win_sim >= sj[a]):
+                        win_sim = sj[a]
+                        win_id = ids[start + in_kept[a]]
+                if win_sim >= threshold:
+                    keep[start + j] = False
+                    dup_of[start + j] = win_id
+                else:
+                    in_kept.append(j)
+            if in_kept:
+                sel = np.asarray(in_kept, dtype=np.int64) + start
+                kept_mat = np.concatenate([kept_mat, mat[sel]])
+                kept_ids = np.concatenate([kept_ids, ids[sel]])
         return pd.DataFrame({"vec_id": ids, "keep": keep, "dup_of": dup_of})
 
     return (

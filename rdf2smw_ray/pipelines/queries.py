@@ -2070,7 +2070,17 @@ def q_knn_graph_ivf(sf_dir: str):
     """IVF-pruned all-pairs 3-NN graph at FULL probe (nprobe ==
     n_lists) — probes everything, so the result equals the exact tiled
     graph and shares its SQL oracle; pruned-probe recall is
-    pytest-asserted (tests/test_r4_fixes.py)."""
+    pytest-asserted (tests/test_r4_fixes.py).
+
+    ulp assumption (documented hazard, not observed): IVF buckets
+    produce different GEMM shapes than the exact tiles, so a dot
+    product could differ in the last ulp; the shared oracle ranks on
+    ROUND(s, 6) with an id tie-break and reports ROUND(s, 4), so a
+    flip requires a genuine rank tie landing exactly on a 1e-6
+    rounding boundary AND two candidates within ~1e-16 of each other —
+    never observed across the gate-mirror drift runs. If it ever
+    fires, rank on int64(round(score * 1e6)) computed identically in
+    both engines."""
     from rdf2smw_ray.pipelines.ann import knn_graph_ivf
 
     return knn_graph_ivf(_emb(sf_dir), k=3, n_lists=8, nprobe=8)
@@ -2205,15 +2215,23 @@ def q_media_features(sf_dir: str):
 
 
 def q_semantic_dedup(sf_dir: str):
-    """SemDeDup-style cluster-then-dedup over the embeddings table.
-    Rows-only in the gate (k-means is not SQL-expressible); the
-    semantics are pytest-pinned instead: n_lists=1 reproduces the
-    brute-force global first-wins rule exactly, and the clustered
-    path achieves full recall on the fixture's near-dup pairs
-    (tests/test_r4_webtext.py)."""
+    """SemDeDup-style cluster-then-dedup over the embeddings table,
+    through the scale-safe DEFAULT path: n_lists='auto' derived from
+    corpus count / target_cluster_size (64 here → 8 clusters at
+    sf0.01's 500 rows). Rows-only in the gate (k-means is not
+    SQL-expressible); the semantics are pytest-pinned instead:
+    n_lists=1 reproduces the brute-force global first-wins rule
+    exactly, the clustered path achieves full recall, and the
+    chunked/tiled greedy is pinned bit-for-bit on PLANTED dense
+    near-dup structure with chunk boundaries inside dup groups
+    (tests/test_r4_webtext.py, tests/test_r5_fixes.py — the testdata
+    embeddings themselves contain no pairs ≥ 0.95, so the planted
+    fixture is what exercises the dup branch)."""
     from rdf2smw_ray.pipelines.ann import semantic_dedup
 
-    out = semantic_dedup(_emb(sf_dir), threshold=0.95, n_lists=8).to_pandas()
+    out = semantic_dedup(
+        _emb(sf_dir), threshold=0.95, target_cluster_size=64
+    ).to_pandas()
     out["vec_id"] = out["vec_id"].astype("int64")
     out["dup_of"] = out["dup_of"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)

@@ -2059,7 +2059,13 @@ def order_priority_check(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     returned = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]).map_batches(
         lambda t: pa.table(
-            {"l_orderkey": t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]}
+            {
+                # per-batch unique (combiner-first): an order with many
+                # R lines ships ONE key into the semi-join shuffle
+                "l_orderkey": pc.unique(
+                    t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+                )
+            }
         ),
         batch_format="pyarrow",
     )
@@ -2182,7 +2188,11 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         columns=["c_custkey", "c_name", "c_nationkey"],
         filters=[("c_custkey", "in", top["c_custkey"].tolist())],
     ).to_pandas()
-    out = top.merge(cdf, on="c_custkey", how="left")
+    # inner: a dangling o_custkey (no customer row) is excluded by the
+    # oracle's INNER JOIN before aggregation, so it must not survive
+    # here either; under TPC-H FK integrity (which the synthetic data
+    # upholds) inner ≡ left and the top-k set is unaffected.
+    out = top.merge(cdf, on="c_custkey", how="inner")
     out["n_name"] = out["c_nationkey"].map(names)
     out["revenue"] = _half_up_dollars(out["rev"].astype("int64"))
     out = out[["c_custkey", "c_name", "n_name", "revenue"]]

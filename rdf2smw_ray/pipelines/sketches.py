@@ -516,6 +516,11 @@ def exact_percentiles_per_key(
     for num, den, _ in targets:
         if not (0 < num <= den):
             raise ValueError("percentile num/den must be in (0, 1]")
+    out_cols = [col for _, _, col in targets]
+    if len(set(out_cols)) != len(out_cols):
+        # two targets sharing an out_col would silently collide in the
+        # (key, col)-keyed refinement state (last-wins) — fail loudly
+        raise ValueError(f"duplicate out_col names in targets: {out_cols}")
 
     def targets_fn(n: int):
         return [
