@@ -1671,6 +1671,18 @@ def q_dup_ngram_stats(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact-substring SPAN REMOVAL (Lee et al. 2022 intervention):
+    tokens covered by any non-first occurrence of a 5-gram
+    (corpus-wide (doc_id, pos) first-wins) are dropped and the kept
+    text is reconstructed — the operator dup_ngram_stats only
+    MEASURES; this one emits the deduplicated corpus."""
+    from rdf2smw_ray.pipelines.spans import dedup_spans
+
+    out = dedup_spans(_docs(sf_dir, columns=["doc_id", "text"]), n=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_docs_per_source(sf_dir: str):
     """Per-source corpus stats: partial per-batch reduce → tiny final
     groupby."""
@@ -2438,6 +2450,7 @@ def all_queries():
         "decontaminate": q_decontaminate,
         "decontaminate_dist": q_decontaminate_dist,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "dedup_spans": q_dedup_spans,
         "corpus_diff": diff.corpus_diff_query,
         "corpus_report": report.corpus_report,
         "lang_id": q_lang_id,
@@ -2581,6 +2594,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "decontaminate": DECONTAMINATE_SQL,
         "decontaminate_dist": DECONTAMINATE_SQL,
         "dup_ngram_stats": spans.DUP_NGRAM_STATS_SQL,
+        "dedup_spans": spans.DEDUP_SPANS_SQL,
         "corpus_diff": diff.CORPUS_DIFF_SQL,
         "corpus_report": report.corpus_report_sql(QUALITY_FILTER_SQL),
         "lang_id": LANG_ID_SQL,

@@ -255,3 +255,91 @@ def test_returned_item_revenue_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()].astype(want.dtypes.to_dict()), want
     )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #2 — exact-substring span REMOVAL
+# ---------------------------------------------------------------------------
+def _brute_dedup_spans(docs: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Scalar reference: corpus-wide (doc_id, pos) first-wins; every
+    token covered by a non-first n-gram occurrence is removed."""
+    occ = {}
+    toks = {int(r.doc_id): (r.text or "").split() for r in docs.itertuples()}
+    for did in sorted(toks):
+        w = toks[did]
+        for i in range(len(w) - n + 1):
+            g = " ".join(w[i : i + n])
+            r = did * (1 << 20) + (i + 1)
+            if g not in occ or r < occ[g]:
+                occ[g] = r
+    rows = []
+    for did in sorted(toks):
+        w = toks[did]
+        rem = np.zeros(len(w), bool)
+        for i in range(len(w) - n + 1):
+            g = " ".join(w[i : i + n])
+            if did * (1 << 20) + (i + 1) > occ[g]:
+                rem[i : i + n] = True
+        kept = [t for t, m in zip(w, rem) if not m]
+        rows.append((did, len(w), len(kept), len(w) - len(kept), " ".join(kept)))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_tokens", "kept_tokens", "removed_tokens", "kept_text"],
+    )
+
+
+def test_dedup_spans_matches_brute_force_testdata(ray_session):
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+    from rdf2smw_ray.pipelines.spans import dedup_spans
+
+    out = (
+        dedup_spans(cached_table(SF, "documents"), n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    ref = _brute_dedup_spans(docs, 5)
+    assert ref["removed_tokens"].sum() > 0  # the removal branch fires
+    pd.testing.assert_frame_equal(
+        out[ref.columns.tolist()].astype(ref.dtypes.to_dict()), ref
+    )
+
+
+def test_dedup_spans_edge_cases(ray_session):
+    """Short docs survive whole; empty text yields empty kept_text;
+    in-doc repeats are removed even with no cross-doc duplicate;
+    overlapping spans union; results hold across many small blocks."""
+    import ray
+
+    from rdf2smw_ray.pipelines.spans import dedup_spans
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a b c d e f g",          # source of the shared 5-gram
+                "x a b c d e y",           # cross-doc dup: 'a b c d e' at pos 2
+                "p q r",                   # shorter than n — survives whole
+                "",                         # empty
+                "m m m m m m m m m m",      # in-doc repeats: dup grams at
+                                            # pos 2..6 cover tokens 2..10
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(5)
+    out = (
+        dedup_spans(ds, n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = _brute_dedup_spans(docs, 5)
+    pd.testing.assert_frame_equal(
+        out[ref.columns.tolist()].astype(ref.dtypes.to_dict()), ref
+    )
+    # pin the interesting rows explicitly
+    assert out.loc[out.doc_id == 2, "kept_text"].iloc[0] == "x y"
+    assert out.loc[out.doc_id == 3, "kept_text"].iloc[0] == "p q r"
+    assert out.loc[out.doc_id == 4, "kept_text"].iloc[0] == ""
+    assert out.loc[out.doc_id == 5, "kept_text"].iloc[0] == "m"
