@@ -819,19 +819,79 @@ SELECT 'Entity_' || node AS entity, ROUND(pr, 6) AS pr FROM p3 ORDER BY entity
 
 
 def kg_pages(sf_dir: str):
-    """Full flagship pipeline; scalar page columns (rows-only check —
-    nested fact lists and rendering are covered by pytest oracles)."""
+    """Full flagship pipeline, scalar page columns (title, page_type,
+    specific_category, subj) under a doc_id-arithmetic oracle —
+    r4 VERDICT item #3, converting the last rows-only kg_* row to
+    hash-checked. Nested fact lists and rendering stay pytest-covered
+    (byte-parity in test_rdf2smw_pipeline.py).
+
+    Exclusion (same as kg_page_facts, documented there): the hub
+    entity carries two distinct labels whose first-wins resolution
+    follows blake2b-seq order — not SQL-expressible — so its page row
+    is excluded on both sides. Every other title, page_type,
+    specific-category and subject is value-compared exactly."""
     from rdf2smw_ray.pipelines.kg import flagship
 
+    hub_subj = _ENT + "0"
     out = flagship(sf_dir, concurrency=2)
     content = out["content"].to_pandas()
     props = out["properties"].to_pandas()
     cols = ["title", "page_type", "specific_category", "subj"]
-    return (
-        pd.concat([content[cols], props[cols]])
-        .sort_values("title")
-        .reset_index(drop=True)
-    )
+    res = pd.concat([content[cols], props[cols]])
+    res = res[res["subj"] != hub_subj]
+    res["page_type"] = res["page_type"].astype("int64")
+    return res.sort_values("title").reset_index(drop=True)
+
+
+KG_PAGES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, (3*doc_id) % 1009 AS e1, (3*doc_id+1) % 1009 AS e2,
+         ((3*doc_id) % 1009) % 8 AS k, doc_id % 11 AS c
+  FROM documents
+), labeled_class AS (
+  SELECT DISTINCT k FROM d WHERE doc_id % 20 = 0
+), subclass_c AS (
+  SELECT DISTINCT c FROM d WHERE c <= 6
+), classes AS (
+  SELECT DISTINCT x FROM (
+    SELECT k AS x FROM d
+    UNION ALL SELECT c FROM subclass_c
+    UNION ALL SELECT c + 1 FROM subclass_c
+    UNION ALL SELECT 0 FROM d WHERE doc_id % 50 = 0
+  )
+), ctitle AS (
+  SELECT x AS k, CASE WHEN x IN (SELECT k FROM labeled_class)
+                      THEN 'Klass ' || x ELSE 'Class_' || x END AS t
+  FROM classes
+), ents AS (
+  SELECT DISTINCT e1, k FROM d WHERE e1 <> 0
+), pages AS (
+  -- entity pages (hub excluded on both sides)
+  SELECT 'Ent ' || e1 || ' Label' AS title, 1 AS page_type,
+         (SELECT t FROM ctitle WHERE ctitle.k = ents.k) AS specific_category,
+         '{_ENT}' || e1 AS subj
+  FROM ents
+  UNION ALL
+  -- class pages: specific category = parent class title when a
+  -- subclass edge exists (the bare 'Class' category is never specific)
+  SELECT 'Category:' || ct.t, 3,
+         CASE WHEN ct.k IN (SELECT c FROM subclass_c)
+              THEN (SELECT t FROM ctitle p WHERE p.k = ct.k + 1)
+              ELSE '' END,
+         '{_CLS}' || ct.k
+  FROM ctitle ct
+  UNION ALL
+  -- property pages: one per predicate local name seen in the corpus
+  SELECT 'Property:' || p, 2, '', '' FROM (
+    SELECT unnest(['Label', 'Type', 'Works_with', 'Has_size', 'Refers_to']) AS p
+    WHERE EXISTS (SELECT 1 FROM d)
+    UNION ALL
+    SELECT 'SubClassOf' WHERE EXISTS (SELECT 1 FROM subclass_c)
+  )
+)
+SELECT title, CAST(page_type AS BIGINT) AS page_type, specific_category, subj
+FROM pages ORDER BY title
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2517,7 +2577,7 @@ def all_oracle_sql():
         "kg_triangles": KG_TRIANGLES_SQL,
         "kg_bfs": KG_BFS_SQL,
         "kg_category_filter": KG_CATEGORY_FILTER_SQL,
-        # kg_pages: non-SQL-expressible (full pipeline) → rows-only
+        "kg_pages": KG_PAGES_SQL,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
