@@ -1884,15 +1884,57 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
 
 
 def q_minhash_dedup(sf_dir: str):
-    out = minhash_dedup(_docs(sf_dir, columns=["doc_id", "text"]), concurrency=2).to_pandas()
+    """MinHash-LSH near-dup assignment, SELF-CERTIFYING: at gate
+    scale (≤2000 docs) the exact flagged set — docs with an earlier
+    5-shingle Jaccard ≥ 0.8 partner — is recomputed brute-force on
+    the driver and the banding recall vs it is emitted as a column;
+    the query raises below the 95% floor (the fixture's near-dups
+    all have J ≥ 0.875, where a 16-band/4-row miss has probability
+    ~7e-7). At corpus scale the certification is skipped; the LSH
+    path itself is unchanged and fully distributed."""
+    docs_ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = minhash_dedup(docs_ds, concurrency=2).to_pandas()
     if "doc_id" not in out.columns:  # zero near-dup edges
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
         )
-    agg = next(c for c in out.columns if "dup_of" in c)
-    out = out.rename(columns={agg: "dup_of"})
-    out["dup_of"] = out["dup_of"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    else:
+        agg = next(c for c in out.columns if "dup_of" in c)
+        out = out.rename(columns={agg: "dup_of"})
+        out["dup_of"] = out["dup_of"].astype("int64")
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    recall_pct = np.int64(-1)  # -1 = certification skipped (too large)
+    if docs_ds.count() <= 2000:
+        d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        sh = {
+            int(r.doc_id): {
+                " ".join(w[i : i + 5]) for i in range(len(w) - 4)
+            }
+            for r in d.itertuples()
+            for w in [(r.text or "").split()]
+        }
+        ids = sorted(sh)
+        flagged_exact = set()
+        for i, a in enumerate(ids):
+            sa = sh[a]
+            for b in ids[:i]:
+                sb = sh[b]
+                if sa or sb:
+                    if len(sa & sb) / len(sa | sb) >= 0.8:
+                        flagged_exact.add(a)
+                        break
+        flagged_lsh = set(out["doc_id"].astype(int))
+        recall_pct = np.int64(
+            len(flagged_lsh & flagged_exact) * 100 // max(len(flagged_exact), 1)
+        )
+        if recall_pct < 95:
+            raise AssertionError(
+                f"minhash banding recall {recall_pct}% below the 95% floor "
+                f"({len(flagged_exact)} exact near-dup docs)"
+            )
+    out["recall_vs_exact_pct"] = recall_pct
+    return out
 
 
 def q_jaccard_pairs(sf_dir: str):
@@ -2077,9 +2119,37 @@ FROM (
 
 
 def q_simhash(sf_dir: str):
+    """64-bit SimHash signatures, SELF-CERTIFYING: signatures are
+    exact-deterministic (rows-only in the gate only because blake2b
+    is not SQL-derivable), so the query re-verifies a ~12% hash-gated
+    sample of documents against the scalar reference kernel
+    (dedup.simhash_text — the same kernel the vectorized-equality
+    pytest pins) and raises on any mismatch; the sampled rows are
+    marked in a column so the evidence is visible in the output."""
+    import hashlib
+
+    from rdf2smw_ray.pipelines.dedup import simhash_text
+
     out = simhashes(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
     out["simhash"] = out["simhash"].astype("uint64").astype(str)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    gate = d["doc_id"].map(
+        lambda v: hashlib.md5(str(v).encode()).hexdigest()[:2] < "20"
+    )
+    sample = d[gate]
+    got = out.set_index("doc_id")["simhash"]
+    bad = [
+        int(r.doc_id)
+        for r in sample.itertuples()
+        if got.get(int(r.doc_id)) != str(np.uint64(simhash_text(r.text or "")))
+    ]
+    if bad or len(sample) == 0:
+        raise AssertionError(f"simhash sample verification failed for docs {bad[:5]}")
+    verified = set(sample["doc_id"].astype(int))
+    out["in_verified_sample"] = out["doc_id"].astype(int).isin(verified)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2174,9 +2244,29 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    out = ann_lsh_topk(_emb(sf_dir), _query_vec(sf_dir), k=10, concurrency=2)
+    """Multiprobe LSH top-k, SELF-CERTIFYING (r4 VERDICT item #6):
+    the query also runs the exact brute-force top-k and emits
+    recall_vs_exact_pct and scan_frac_pct as columns, raising if
+    recall falls below the pinned floor — the gate row now carries
+    its own approximation evidence instead of being run-only. The
+    floor (40%) reflects the synthetic embeddings' near-isotropy
+    (see ann_lsh_topk docstring): measured 60% at 35% scan on
+    sf0.01, deterministic (fixed seed/planes)."""
+    from rdf2smw_ray.pipelines.ann import ann_brute_topk
+
+    q = _query_vec(sf_dir)
+    emb = _emb(sf_dir)
+    out = ann_lsh_topk(emb, q, k=10, multiprobe=3, concurrency=2)
+    exact = ann_brute_topk(emb, q, k=10, concurrency=2)
+    hit = len(set(out["vec_id"]) & set(exact["vec_id"]))
+    recall_pct = hit * 100 // max(len(exact), 1)
+    if recall_pct < 40:
+        raise AssertionError(
+            f"ann_lsh recall {recall_pct}% below the pinned 40% floor"
+        )
     out = out[["vec_id", "score"]].copy()
     out["score"] = out["score"].round(4)
+    out["recall_vs_exact_pct"] = np.int64(recall_pct)
     return out.reset_index(drop=True)
 
 
@@ -2212,9 +2302,11 @@ def q_simhash_near_dup(sf_dir: str):
 
 
 def q_cms_token_counts(sf_dir: str):
-    """Count-Min frequency estimates for the exact top-20 tokens —
-    run-only (approximate, one-sided error; accuracy pytest-asserted
-    in test_sketches.py like the HLL/quantile sketches)."""
+    """Count-Min frequency estimates for the exact top-20 tokens,
+    SELF-CERTIFYING: the exact counts (already computed to pick the
+    candidates) ride along as a column with the per-token overcount;
+    the query raises unless 0 <= overcount <= ceil(e/w * N) — the
+    CMS guarantee — so the gate row carries its own error evidence."""
     from ray.data.aggregate import Sum
 
     from rdf2smw_ray.pipelines.sketches import cms_token_counts
@@ -2237,43 +2329,104 @@ def q_cms_token_counts(sf_dir: str):
             }
         )
 
-    top = (
+    full = (
         docs.map_batches(counts, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values(["n", "token"], ascending=[False, True])
-        .head(20)
     )
-    return cms_token_counts(docs, sorted(top["token"]))
+    top = full.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    out = cms_token_counts(docs, sorted(top["token"]))
+    # SELF-CERTIFICATION: CMS error is one-sided (est >= exact) and
+    # bounded by ceil(e/w * N) with w=2^14 counters per row — emit
+    # exact and overcount columns, raise on a violation
+    n_total = int(full["n"].sum())
+    bound = int(np.ceil(np.e / (1 << 14) * n_total))
+    out = out.merge(
+        top[["token", "n"]].rename(columns={"n": "exact"}), on="token", how="left"
+    )
+    out["exact"] = out["exact"].astype("int64")
+    out["overcount"] = (out["est"] - out["exact"]).astype("int64")
+    if (out["overcount"] < 0).any() or (out["overcount"] > bound).any():
+        raise AssertionError(
+            f"CMS estimates violate the (0, {bound}] overcount bound:\n{out}"
+        )
+    return out.sort_values("token").reset_index(drop=True)
 
 
 def q_value_quantiles(sf_dir: str):
     """Approximate event-value quantiles from the mergeable histogram
-    sketch (rows-only — approximate by design; accuracy
-    pytest-asserted vs exact)."""
-    import ray.data as rd
-
+    sketch, SELF-CERTIFYING: the sketch's documented bound is
+    2 * value_range / num_bins; each estimate's absolute error vs the
+    exact quantile is emitted as a column and the query raises on a
+    violation (the same bound test_sketches pins). The exact side is
+    a driver np.quantile over the single value column — a
+    certification pass gated to ≤10M rows; at corpus scale the
+    certification is sampled or skipped while the SKETCH (the scale
+    path: one bincount vector per block) is unchanged."""
     from rdf2smw_ray.pipelines.sketches import approx_quantiles
 
     qs = [0.1, 0.5, 0.9, 0.99]
-    vals = approx_quantiles(
-        _events_cached(sf_dir, ["value"]), "value", qs
+    num_bins = 4096
+    ds = _events_cached(sf_dir, ["value"])
+    vals = approx_quantiles(ds, "value", qs, num_bins=num_bins)
+    if ds.count() <= 10_000_000:
+        v = ds.to_pandas()["value"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        tol = 2 * (v.max() - v.min()) / num_bins
+        exact = np.quantile(v, qs)
+        errs = np.abs(np.asarray(vals) - exact)
+        if (errs > tol).any():
+            raise AssertionError(
+                f"quantile sketch errors {errs} exceed bound {tol}"
+            )
+        within = np.int64(1)
+    else:  # pragma: no cover - gate scales are far below the cap
+        errs = np.full(len(qs), -1.0)
+        within = np.int64(0)
+    return pd.DataFrame(
+        {
+            "q": qs,
+            "value": [round(float(x), 4) for x in vals],
+            "abs_err": [round(float(e), 4) for e in errs],
+            "within_bound": np.full(len(qs), within),
+        }
     )
-    return pd.DataFrame({"q": qs, "value": [round(v, 4) for v in vals]})
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """HLL approximate distinct users over events (rows-only check —
-    approximate by design; accuracy is pytest-asserted vs exact)."""
-    import ray.data as rd
+    """HLL approximate distinct users over events, SELF-CERTIFYING:
+    the exact distinct count (per-batch unique combiner → tiny
+    groupby) rides along as a column with the relative error in
+    basis points; the query raises if the error exceeds the same 10%
+    bound the accuracy pytest pins (p=12 registers → ~1.6% typical)."""
+    import pyarrow.compute as pc
 
     from rdf2smw_ray.pipelines.sketches import approx_distinct
 
-    est = approx_distinct(
-        _events_cached(sf_dir, ["user_id"]), "user_id"
+    ds = _events_cached(sf_dir, ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = (
+        ds.map_batches(
+            lambda t: pa.table({"user_id": pc.unique(t["user_id"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .count()
+        .count()
     )
-    return pd.DataFrame({"approx_users": pd.Series([round(est)], dtype="int64")})
+    rel_err_bp = abs(round(est) - exact) * 10_000 // max(exact, 1)
+    if rel_err_bp > 1000:
+        raise AssertionError(
+            f"HLL estimate {est} vs exact {exact}: error {rel_err_bp}bp > 10%"
+        )
+    return pd.DataFrame(
+        {
+            "approx_users": pd.Series([round(est)], dtype="int64"),
+            "exact_users": pd.Series([exact], dtype="int64"),
+            "rel_err_bp": pd.Series([rel_err_bp], dtype="int64"),
+        }
+    )
 
 
 def q_media_features(sf_dir: str):

@@ -343,3 +343,39 @@ def test_dedup_spans_edge_cases(ray_session):
     assert out.loc[out.doc_id == 3, "kept_text"].iloc[0] == "p q r"
     assert out.loc[out.doc_id == 4, "kept_text"].iloc[0] == ""
     assert out.loc[out.doc_id == 5, "kept_text"].iloc[0] == "m"
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #6 — self-certifying approximate queries
+# ---------------------------------------------------------------------------
+def test_self_certifying_queries_emit_evidence(ray_session):
+    """Each formerly run-only approximate query now emits its own
+    accuracy evidence as columns (and raises internally on a bound
+    violation — so merely completing IS the certification)."""
+    from rdf2smw_ray.pipelines.queries import (
+        q_approx_distinct_users,
+        q_cms_token_counts,
+        q_minhash_dedup,
+        q_simhash,
+        q_value_quantiles,
+    )
+
+    adu = q_approx_distinct_users(SF)
+    assert {"approx_users", "exact_users", "rel_err_bp"} <= set(adu.columns)
+    assert int(adu["rel_err_bp"].iloc[0]) <= 1000
+
+    vq = q_value_quantiles(SF)
+    assert {"abs_err", "within_bound"} <= set(vq.columns)
+    assert (vq["within_bound"] == 1).all()
+
+    cms = q_cms_token_counts(SF)
+    assert {"est", "exact", "overcount"} <= set(cms.columns)
+    assert (cms["overcount"] >= 0).all()
+
+    mh = q_minhash_dedup(SF)
+    assert "recall_vs_exact_pct" in mh.columns
+    assert (mh["recall_vs_exact_pct"] >= 95).all()  # certified at gate scale
+
+    sh = q_simhash(SF)
+    assert "in_verified_sample" in sh.columns
+    assert sh["in_verified_sample"].sum() > 0
