@@ -23,10 +23,15 @@ job (refs from a dead session are dropped, never reused).
 from __future__ import annotations
 
 import os
+import threading
 
 import pyarrow as pa
 
 _CACHE: dict = {}
+# gate_mirror drives query legs from a small thread pool; the fill
+# (materialize + stale-job evict) must not race or mutate the dict
+# under another thread's iteration
+_LOCK = threading.Lock()
 
 
 def _clean_schema(path: str):
@@ -57,19 +62,20 @@ def cached_table(sf_dir: str, table: str, columns=None):
         )
     job = ray.get_runtime_context().get_job_id()
     key = (job, path)
-    ds = _CACHE.get(key)
-    if ds is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # full-width read: the cache serves every query's projection.
-        # Forced block count keeps downstream parallelism (column
-        # pruning/materialization otherwise collapses tiny tables to a
-        # couple of blocks — BASELINE.md round-1 measurement)
-        ds = rd.read_parquet(
-            path,
-            schema=_clean_schema(path),
-            override_num_blocks=max(16, 2 * ncpu),
-        ).materialize()
-        for k in [k for k in _CACHE if k[0] != job]:
-            del _CACHE[k]
-        _CACHE[key] = ds
+    with _LOCK:
+        ds = _CACHE.get(key)
+        if ds is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            # full-width read: the cache serves every query's projection.
+            # Forced block count keeps downstream parallelism (column
+            # pruning/materialization otherwise collapses tiny tables to a
+            # couple of blocks — BASELINE.md round-1 measurement)
+            ds = rd.read_parquet(
+                path,
+                schema=_clean_schema(path),
+                override_num_blocks=max(16, 2 * ncpu),
+            ).materialize()
+            for k in [k for k in _CACHE if k[0] != job]:
+                del _CACHE[k]
+            _CACHE[key] = ds
     return ds.select_columns(list(columns)) if columns else ds
