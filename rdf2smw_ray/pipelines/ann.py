@@ -172,6 +172,7 @@ def ann_lsh_topk(
     seed=42,
     multiprobe: int = 1,
     concurrency=4,
+    stats: dict | None = None,
 ):
     """Approximate top-k: only score rows whose bucket falls within
     Hamming distance ``multiprobe`` of the query signature
@@ -199,6 +200,12 @@ def ann_lsh_topk(
         lambda t: t.filter(pc.is_in(t["bucket"], value_set=sigs)),
         batch_format="pyarrow"
     )
+    if stats is not None:
+        # certification-only out-param: materialize so the count does
+        # not re-execute the filter; the scale path never passes stats
+        candidates = candidates.materialize()
+        stats["scanned"] = candidates.count()
+        stats["total"] = embeddings.count()
     return ann_brute_topk(candidates, q, k, concurrency=concurrency)
 
 
@@ -302,7 +309,17 @@ def train_ivf_centroids(
     hash-ordered sample of the whole corpus, then the smallest
     ``sample_size`` hashes are kept. When the corpus fits inside
     ``sample_size`` the gate passes everything (identical to training
-    on the full corpus). Returns unit centroids."""
+    on the full corpus). Returns unit centroids.
+
+    Cost notes: when ``total_count`` is omitted, ``Dataset.count()``
+    is metadata-only for plain parquet reads and O(1) for materialized
+    datasets, but executes one full pass on a transformed lazy input —
+    callers that already know the count should pass it. Driver-side
+    training is O(sample_size x n_lists x dim x iters) flops with peak
+    memory bounded by chunked assignment (~1 GB), so even the
+    65536-list cap stays tractable (minutes, once per corpus)."""
+    import warnings
+
     if total_count is None:
         total_count = embeddings.count()
 
@@ -334,14 +351,35 @@ def train_ivf_centroids(
     sample_tbl = sample_tbl.sort_values("vec_id").reset_index(drop=True)
     sample = _unit(np.asarray(sample_tbl["embedding"].tolist(), dtype=np.float64))
     rng = np.random.RandomState(42)
+    if n_lists > len(sample):
+        # never silently degrade the advertised list count — the caller
+        # sized n_lists to keep clusters bounded, so a re-cap means the
+        # sample must grow with it (semantic_dedup does this)
+        warnings.warn(
+            f"train_ivf_centroids: n_lists={n_lists} exceeds the {len(sample)}-row "
+            "training sample; capping to the sample size — pass a larger "
+            "sample_size to actually get that many lists",
+            stacklevel=2,
+        )
     n_lists = min(n_lists, len(sample))
     cent = sample[rng.choice(len(sample), size=n_lists, replace=False)].copy()
+    # chunk the assign matmul so the (sample, n_lists) similarity matrix
+    # never materializes whole (1 GB f64 cap regardless of list count)
+    chunk = max(256, int(2**27) // max(n_lists, 1))
+    assign = np.empty(len(sample), dtype=np.int64)
     for _ in range(iters):
-        assign = (sample @ cent.T).argmax(axis=1)
+        for s0 in range(0, len(sample), chunk):
+            assign[s0 : s0 + chunk] = (sample[s0 : s0 + chunk] @ cent.T).argmax(axis=1)
+        # update = np.mean over each cluster's members in ORIGINAL row
+        # order (stable sort keeps that order within a cluster, so the
+        # values are bit-identical to the naive boolean-mask loop) —
+        # but O(sample log sample) instead of O(n_lists x sample)
+        order = np.argsort(assign, kind="stable")
+        bounds = np.searchsorted(assign[order], np.arange(n_lists + 1))
         for j in range(n_lists):
-            members = sample[assign == j]
-            if len(members):
-                cent[j] = members.mean(axis=0)
+            s, e = bounds[j], bounds[j + 1]
+            if e > s:
+                cent[j] = sample[order[s:e]].mean(axis=0)
         cent = _unit(cent)
     return cent
 
@@ -379,11 +417,12 @@ def ann_ivf_topk(
     n_lists: int = 16,
     nprobe: int = 4,
     concurrency=4,
+    total_count: int | None = None,
 ):
     import pyarrow.compute as pc
 
     q = np.asarray(query, dtype=np.float64)
-    cent = train_ivf_centroids(embeddings, n_lists=n_lists)
+    cent = train_ivf_centroids(embeddings, n_lists=n_lists, total_count=total_count)
     qu = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(cent @ qu))[: min(nprobe, len(cent))].astype(np.int32)
     assigned = ivf_assign(embeddings, cent, concurrency=concurrency)
@@ -584,7 +623,12 @@ def _final_knn_topk(candidates, k: int) -> pd.DataFrame:
 
 
 def knn_graph_ivf(
-    embeddings, *, k: int = 3, n_lists: int = 16, nprobe: int = 4
+    embeddings,
+    *,
+    k: int = 3,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    total_count: int | None = None,
 ):
     """Approximate all-pairs kNN graph with IVF pruning — the scale
     ramp past ``knn_graph``'s T=64 tile cap.
@@ -607,7 +651,7 @@ def knn_graph_ivf(
 
     import ray
 
-    cent = train_ivf_centroids(embeddings, n_lists=n_lists)
+    cent = train_ivf_centroids(embeddings, n_lists=n_lists, total_count=total_count)
     nprobe_eff = min(nprobe, len(cent))
     cent_ref = ray.put(cent)
 
@@ -815,7 +859,16 @@ def semantic_dedup(
     if n_lists == "auto":
         n_lists = max(1, min(65536, -(-total // target_cluster_size)))
 
-    cent = train_ivf_centroids(embeddings, n_lists=n_lists, total_count=total)
+    # the training sample must grow with the list count or
+    # train_ivf_centroids re-caps n_lists to the sample size and the
+    # "cluster size stays ~constant" guarantee silently breaks past
+    # ~target_cluster_size * 2048 rows; 4 sample rows per centroid,
+    # floor 2048 (max 256k rows at the 65536-list cap — bounded driver
+    # memory, chunked assign inside keeps the matmul at <= 1 GB)
+    sample_size = max(2048, 4 * int(n_lists))
+    cent = train_ivf_centroids(
+        embeddings, n_lists=n_lists, sample_size=sample_size, total_count=total
+    )
     assigned = ivf_assign(
         embeddings.select_columns(["vec_id", "embedding"]), cent, concurrency=concurrency
     )

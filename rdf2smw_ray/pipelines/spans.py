@@ -256,6 +256,15 @@ def dedup_spans(docs, *, n: int = 5, num_buckets: int | None = None):
                 f"document exceeds {pos_cap} tokens — the doc*2^{_POS_BITS}+pos "
                 "rank packing would overflow; raise _POS_BITS or chunk the doc"
             )
+        if ids.size and (ids.min() < 0 or ids.max() >= (1 << (63 - _POS_BITS))):
+            # hashed/snowflake ids >= 2^43 would wrap the packed rank
+            # negative and silently corrupt the first-wins order — fail
+            # loudly like the pos bound above
+            raise ValueError(
+                f"doc_id outside [0, 2^{63 - _POS_BITS}) — the "
+                f"doc*2^{_POS_BITS}+pos rank packing would overflow int64; "
+                "remap ids densely (e.g. dense_rank) before dedup_spans"
+            )
         gcode, guniq = pd.factorize(pd.Series(grams), sort=False)
         order = np.lexsort((pos, gcode, d))
         # sorted by (doc, gram, pos): group firsts are in-doc-first

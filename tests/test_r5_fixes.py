@@ -379,3 +379,99 @@ def test_self_certifying_queries_emit_evidence(ray_session):
     sh = q_simhash(SF)
     assert "in_verified_sample" in sh.columns
     assert sh["in_verified_sample"].sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 review-pass fixes
+# ---------------------------------------------------------------------------
+def test_ivf_recap_warns_and_scaled_sample_respects_n_lists(ray_session):
+    """n_lists beyond the sample must WARN (not silently degrade); a
+    sample sized to the list count must deliver exactly n_lists."""
+    import ray
+
+    from rdf2smw_ray.pipelines.ann import train_ivf_centroids
+
+    rng = np.random.RandomState(7)
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(200, dtype=np.int64),
+                "embedding": list(rng.randn(200, 8)),
+            }
+        )
+    )
+    with pytest.warns(UserWarning, match="exceeds the"):
+        cent = train_ivf_centroids(ds, n_lists=32, sample_size=16)
+    assert len(cent) == 16  # capped, loudly
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        cent = train_ivf_centroids(ds, n_lists=32, sample_size=128)
+    assert len(cent) == 32  # sample covers the list count: no warning
+
+
+def test_dedup_spans_doc_id_overflow_raises(ray_session):
+    import ray
+
+    from rdf2smw_ray.pipelines.spans import dedup_spans
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([1 << 50], dtype=np.int64),  # snowflake-style id
+                "text": ["a b c d e f g h"],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="doc_id outside"):
+        dedup_spans(ds, n=5).to_pandas()
+
+
+def test_minhash_recall_vacuous_on_no_dup_corpus(ray_session, tmp_path):
+    """A corpus with zero exact near-duplicates must certify recall=100
+    (vacuous), not trip the 95% floor with 0/0 -> 0."""
+    from rdf2smw_ray.pipelines.queries import q_minhash_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": [
+                " ".join(f"w{i}x{j}" for j in range(30)) for i in range(12)
+            ],  # pairwise-disjoint shingles
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    out = q_minhash_dedup(str(tmp_path))
+    assert len(out) == 0 or (out["dup_of"] >= 0).all()
+    assert (out["recall_vs_exact_pct"] == 100).all() or len(out) == 0
+
+
+def test_simhash_empty_md5_sample_is_vacuous(ray_session, tmp_path):
+    """A tiny corpus where the md5 gate selects no docs must not raise."""
+    import hashlib
+
+    from rdf2smw_ray.pipelines.queries import q_simhash
+
+    ids = [i for i in range(200) if hashlib.md5(str(i).encode()).hexdigest()[:2] >= "20"][:6]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array(ids, dtype=np.int64),
+            "text": [f"doc {i} body text here" for i in ids],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    out = q_simhash(str(tmp_path))
+    assert len(out) == len(ids)
+    assert not out["in_verified_sample"].any()
+
+
+def test_ann_lsh_emits_scan_fraction(ray_session):
+    from rdf2smw_ray.pipelines.queries import q_ann_lsh
+
+    out = q_ann_lsh("/root/testdata/sf0.001")
+    assert "scan_frac_pct" in out.columns
+    assert 0 < int(out["scan_frac_pct"].iloc[0]) < 100
+    assert int(out["recall_vs_exact_pct"].iloc[0]) >= max(
+        15, int(out["scan_frac_pct"].iloc[0]) // 2
+    )

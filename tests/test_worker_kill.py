@@ -37,6 +37,28 @@ def run_once():
 killed = []
 
 
+def _is_ours(pid):
+    # only kill workers of THIS cluster: local-mode Ray spawns the
+    # raylet (and thus every worker) under this process, so walk the
+    # PPid chain and require os.getpid() as an ancestor — a concurrent
+    # gate mirror / soak on the same machine must never lose a worker
+    me = os.getpid()
+    for _ in range(32):
+        if pid == me:
+            return True
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                ppid = next(
+                    int(l.split()[1]) for l in f if l.startswith("PPid:")
+                )
+        except (OSError, StopIteration):
+            return False
+        if ppid <= 1:
+            return False
+        pid = ppid
+    return False
+
+
 def killer(stop):
     # SIGKILL up to two workers that are EXECUTING a task (cmdline
     # 'ray::<task>'; idle workers are 'ray::IDLE') while the pipeline
@@ -51,7 +73,7 @@ def killer(stop):
                     cmd = f.read().split(b"\0")[0].decode(errors="replace")
             except OSError:
                 continue
-            if cmd.startswith("ray::") and "IDLE" not in cmd:
+            if cmd.startswith("ray::") and "IDLE" not in cmd and _is_ours(int(pid)):
                 try:
                     os.kill(int(pid), signal.SIGKILL)
                     killed.append(cmd)

@@ -287,7 +287,10 @@ def main() -> int:
         with open(args.json_out, "w") as f:
             json.dump(summary, f)
     if oracle_fut:
-        pool.shutdown(wait=False)
+        # cancel queued (never-compared) oracle jobs too — without
+        # cancel_futures the interpreter-exit join still RUNS them,
+        # delaying process exit long after the summary printed
+        pool.shutdown(wait=False, cancel_futures=True)
     ray.shutdown()
     return 1 if (fails or drift) else 0
 
@@ -300,6 +303,7 @@ def _run_sharded(args) -> int:
     submission + GIL-held pandas normalization), so processes are the
     only parallelism that shortens it — threads measured net-negative
     (see --query-threads help)."""
+    import os
     import subprocess
     import tempfile
 
@@ -351,6 +355,11 @@ def _run_sharded(args) -> int:
         except Exception as e:  # noqa: BLE001 - child crashed before writing
             merged["fails"].append((f"shard{i}", f"no summary ({e}; rc={rcs[i]})"))
             continue
+        finally:
+            try:  # don't litter /tmp with per-shard summaries
+                os.unlink(path)
+            except OSError:
+                pass
         merged["n"] += s["n"]
         merged["oracle_checked"] += s["oracle_checked"]
         merged["fails"].extend(s["fails"])
