@@ -1862,8 +1862,39 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints, SELF-CERTIFYING like q_simhash:
+    a ~12% md5-gated sample is re-verified in-query against the scalar
+    reference kernel (textstats.fingerprint_text — the same kernel the
+    vectorized-equality pytest pins) and any mismatch raises; verified
+    rows are marked in a column. Size-gated to ≤20k docs — at scale the
+    vectorized≡scalar pytest still covers the kernel."""
+    import hashlib
+
+    from rdf2smw_ray.pipelines.textstats import fingerprint_text
+
     out = fingerprints(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    verified: set = set()
+    if len(out) <= 20_000:
+        d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        gate = d["doc_id"].map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest()[:2] < "20"
+        )
+        sample = d[gate]
+        got = out.set_index("doc_id")["fingerprint"]
+        bad = [
+            int(r.doc_id)
+            for r in sample.itertuples()
+            if np.uint64(got.get(int(r.doc_id))) != np.uint64(fingerprint_text(r.text or "", 4))
+        ]
+        if bad:
+            raise AssertionError(
+                f"fingerprint sample verification failed for docs {bad[:5]}"
+            )
+        verified = set(sample["doc_id"].astype(int))
+    out["in_verified_sample"] = out["doc_id"].astype(int).isin(verified)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2292,34 +2323,107 @@ def q_ann_lsh(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup (LSH bucketed + in-bucket verify),
+    SELF-CERTIFYING at gate scale (≤4096 vectors): the exact flagged
+    set — vectors with an EARLIER cosine ≥ 0.9 partner — is recomputed
+    by one driver matmul; every reported pair must verify exactly
+    (precision 1.0, the operator's in-bucket cosine check makes false
+    positives impossible — a violation raises) and banding recall vs
+    the exact set rides along as a column (vacuously 100 when the
+    corpus has no near-dup pair, as the synthetic fixture does)."""
+    from rdf2smw_ray.pipelines.ann import _unit
+
     out = embedding_near_dup(_emb(sf_dir), threshold=0.9, concurrency=2).to_pandas()
     if "vec_id" not in out.columns:  # zero near-dup edges
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"vec_id": pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
         )
-    agg = next(c for c in out.columns if "dup_of" in c)
-    out = out.rename(columns={agg: "dup_of"})
-    out["dup_of"] = out["dup_of"].astype("int64")
-    return out.sort_values("vec_id").reset_index(drop=True)
+    else:
+        agg = next(c for c in out.columns if "dup_of" in c)
+        out = out.rename(columns={agg: "dup_of"})
+        out["dup_of"] = out["dup_of"].astype("int64")
+    out = out.sort_values("vec_id").reset_index(drop=True)
+
+    recall_pct = np.int64(-1)  # -1 = certification skipped (too large)
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if len(emb) <= 4096:
+        ids = emb["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float64)[order])
+        sims = mat @ mat.T
+        pos = {int(v): i for i, v in enumerate(ids)}
+        bad = [
+            (int(r.vec_id), int(r.dup_of))
+            for r in out.itertuples()
+            if sims[pos[int(r.vec_id)], pos[int(r.dup_of)]] < 0.9
+            or not int(r.dup_of) < int(r.vec_id)
+        ]
+        if bad:
+            raise AssertionError(f"embedding_near_dup false positives: {bad[:5]}")
+        exact_flagged = {
+            int(ids[j])
+            for j in range(1, len(ids))
+            if (sims[j, :j] >= 0.9).any()
+        }
+        got_flagged = set(out["vec_id"].astype(int))
+        recall_pct = (
+            np.int64(100)
+            if not exact_flagged
+            else np.int64(len(got_flagged & exact_flagged) * 100 // len(exact_flagged))
+        )
+    out["recall_vs_exact_pct"] = recall_pct
+    return out
 
 
 def q_simhash_near_dup(sf_dir: str):
-    """SimHash hamming-distance near-dup pairs (banded, recall 1.0 by
-    pigeonhole; rows-only — blake2b signatures are not SQL-derivable,
-    recall/precision pytest-asserted vs brute force)."""
-    from rdf2smw_ray.pipelines.dedup import simhash_near_dup
+    """SimHash hamming-distance near-dup pairs, SELF-CERTIFYING by
+    EQUALITY (not a floor): banding recall is 1.0 by pigeonhole and
+    in-bucket xor-popcount verification makes precision 1.0, so at
+    gate scale (≤2000 docs) the result must EQUAL the brute-force
+    (scalar reference kernel signatures + full pairwise hamming,
+    min earlier partner per doc) — any difference raises. Rows-only
+    in the gate only because blake2b is not SQL-derivable."""
+    from rdf2smw_ray.pipelines.dedup import _popcount64, simhash_near_dup, simhash_text
 
     out = simhash_near_dup(
         _docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3
     ).to_pandas()
     if "doc_id" not in out.columns:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
         )
-    agg = next(c for c in out.columns if "dup_of" in c)
-    out = out.rename(columns={agg: "dup_of"})
-    out["dup_of"] = out["dup_of"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    else:
+        agg = next(c for c in out.columns if "dup_of" in c)
+        out = out.rename(columns={agg: "dup_of"})
+        out["dup_of"] = out["dup_of"].astype("int64")
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    verified = False
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if len(d) <= 2000:
+        d = d.sort_values("doc_id").reset_index(drop=True)
+        ids = d["doc_id"].to_numpy().astype(np.int64)
+        sig = np.array(
+            [np.uint64(simhash_text(t or "")) for t in d["text"]], dtype=np.uint64
+        )
+        exact = {}
+        for j in range(1, len(ids)):
+            ham = _popcount64(sig[:j] ^ sig[j])
+            hit = np.flatnonzero(ham <= 3)
+            if len(hit):
+                exact[int(ids[j])] = int(ids[hit].min())
+        got = dict(zip(out["doc_id"].astype(int), out["dup_of"].astype(int)))
+        if got != exact:
+            extra = {k: v for k, v in got.items() if exact.get(k) != v}
+            missing = {k: v for k, v in exact.items() if k not in got}
+            raise AssertionError(
+                f"simhash_near_dup != brute force: extra={list(extra.items())[:3]} "
+                f"missing={list(missing.items())[:3]}"
+            )
+        verified = True
+    out["verified_exact"] = verified
+    return out
 
 
 def q_cms_token_counts(sf_dir: str):
