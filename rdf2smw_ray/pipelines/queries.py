@@ -2556,12 +2556,88 @@ def q_approx_distinct_users(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Multimodal plumbing over synthetic media derived from the
-    embeddings ids: synth → decode → resize/frame-sample → features."""
-    from rdf2smw_ray.pipelines.multimodal import media_features, synth_media
+    embeddings ids: synth → decode → resize/frame-sample → features.
+    SELF-CERTIFYING: a ~12% md5-gated sample of ids is re-derived on
+    the driver straight from the seed bytes — WITHOUT going through
+    the BMP/WAV encoders or decoders — and the pooled mean/std/
+    feat_dim/n_frames must match the operator's output exactly, so a
+    codec round-trip or pooling defect fails the gate row. Size-gated
+    to ≤20k items; at scale the codec round-trip pytests still pin
+    the kernels."""
+    import hashlib
+
+    from rdf2smw_ray.pipelines.multimodal import (
+        _MAGIC,
+        _seed_bytes,
+        _WAV_RATE,
+        media_features,
+        synth_media,
+    )
 
     ids = _emb(sf_dir).select_columns(["vec_id"])
     out = media_features(synth_media(ids), concurrency=2).to_pandas()
-    return out.sort_values("media_id").reset_index(drop=True)
+    out = out.sort_values("media_id").reset_index(drop=True)
+
+    def _pool16(arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape
+        fh, fw = max(1, h // 16), max(1, w // 16)
+        th, tw = h // fh * fh, w // fw * fw
+        return arr[:th, :tw].reshape(th // fh, fh, tw // fw, fw).mean(axis=(1, 3))
+
+    def _expected(i: int):
+        kind = ("image", "audio", "video")[i % 3]
+        w = 32 + (i % 8) * 16 if kind != "audio" else 0
+        h = 32 + (i % 5) * 16 if kind != "audio" else 0
+        d = (500 + i % 4000) if kind != "image" else 0
+        if kind == "image":
+            px = np.frombuffer(_seed_bytes(i, w * h), dtype=np.uint8).reshape(h, w)
+            flat, nf = _pool16(px).ravel(), 1
+        elif kind == "audio":
+            n = d * (_WAV_RATE // 1000)
+            samples = np.frombuffer(_seed_bytes(i, 2 * n), dtype="<i2")
+            flat, nf = samples.astype(np.float64), 0
+        else:  # video: fake-codec spec — body bytes tiled to (h, w)
+            body = np.frombuffer(_seed_bytes(i, 256 + i % 128), dtype=np.uint8)
+            reps = int(np.ceil(w * h / len(body)))
+            arr = np.tile(body, reps)[: w * h].reshape(h, w)
+            flat = np.concatenate(
+                [_pool16(np.roll(arr, f)).ravel() for f in range(4)]
+            )
+            nf = 4
+        return (
+            float(np.round(flat.mean(), 4)),
+            float(np.round(flat.std(), 4)),
+            nf,
+            len(flat),
+        )
+
+    verified: set = set()
+    if len(out) <= 20_000:
+        by_id = out.set_index("media_id")
+        sample = [
+            int(i)
+            for i in out["media_id"]
+            if hashlib.md5(str(int(i)).encode()).hexdigest()[:2] < "20"
+        ]
+        bad = []
+        for i in sample:
+            row = by_id.loc[i]
+            exp = _expected(i)
+            got = (
+                float(row["mean_val"]),
+                float(row["std_val"]),
+                int(row["n_frames"]),
+                int(row["feat_dim"]),
+            )
+            if got != exp:
+                bad.append((i, got, exp))
+        if bad:
+            raise AssertionError(f"media_features sample mismatch: {bad[:3]}")
+        verified = set(sample)
+    out["in_verified_sample"] = out["media_id"].astype(int).isin(verified)
+    # _MAGIC imported to keep the fake-codec spec dependency explicit
+    assert _MAGIC == b"FAKEMEDIA1"
+    return out
 
 
 def q_semantic_dedup(sf_dir: str):
@@ -2576,15 +2652,55 @@ def q_semantic_dedup(sf_dir: str):
     near-dup structure with chunk boundaries inside dup groups
     (tests/test_r4_webtext.py, tests/test_r5_fixes.py — the testdata
     embeddings themselves contain no pairs ≥ 0.95, so the planted
-    fixture is what exercises the dup branch)."""
-    from rdf2smw_ray.pipelines.ann import semantic_dedup
+    fixture is what exercises the dup branch).
+
+    SELF-CERTIFYING at gate scale (≤4096 vectors): one driver matmul
+    recomputes all pairwise cosines; every reported duplicate must
+    have cosine(vec_id, dup_of) ≥ threshold with dup_of an EARLIER
+    KEEPER (precision 1.0 — a violation raises), and recall vs the
+    global exact flagged set rides along as a column (SemDeDup recall
+    is <100 by design when a dup pair straddles clusters, so the
+    measured value is emitted without a floor; vacuously 100 on this
+    fixture)."""
+    from rdf2smw_ray.pipelines.ann import _unit, semantic_dedup
 
     out = semantic_dedup(
         _emb(sf_dir), threshold=0.95, target_cluster_size=64
     ).to_pandas()
     out["vec_id"] = out["vec_id"].astype("int64")
     out["dup_of"] = out["dup_of"].astype("int64")
-    return out.sort_values("vec_id").reset_index(drop=True)
+    out = out.sort_values("vec_id").reset_index(drop=True)
+
+    recall_pct = np.int64(-1)  # -1 = certification skipped (too large)
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if len(emb) <= 4096:
+        ids = emb["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float64)[order])
+        sims = mat @ mat.T
+        pos = {int(v): i for i, v in enumerate(ids)}
+        keepers = set(out.loc[out["keep"], "vec_id"].astype(int))
+        bad = [
+            (int(r.vec_id), int(r.dup_of))
+            for r in out[~out["keep"]].itertuples()
+            if sims[pos[int(r.vec_id)], pos[int(r.dup_of)]] < 0.95
+            or not int(r.dup_of) < int(r.vec_id)
+            or int(r.dup_of) not in keepers
+        ]
+        if bad:
+            raise AssertionError(f"semantic_dedup invalid duplicates: {bad[:5]}")
+        exact_flagged = {
+            int(ids[j]) for j in range(1, len(ids)) if (sims[j, :j] >= 0.95).any()
+        }
+        got_flagged = set(out.loc[~out["keep"], "vec_id"].astype(int))
+        recall_pct = (
+            np.int64(100)
+            if not exact_flagged
+            else np.int64(len(got_flagged & exact_flagged) * 100 // len(exact_flagged))
+        )
+    out["recall_vs_exact_pct"] = recall_pct
+    return out
 
 
 def q_heavy_hitters(sf_dir: str):

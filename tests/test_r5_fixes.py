@@ -475,3 +475,45 @@ def test_ann_lsh_emits_scan_fraction(ray_session):
     assert int(out["recall_vs_exact_pct"].iloc[0]) >= max(
         15, int(out["scan_frac_pct"].iloc[0]) // 2
     )
+
+
+def test_self_certifying_media_and_semantic_dedup(ray_session):
+    """The last two rows-only queries also self-certify now:
+    media_features re-derives a hash-gated sample of features straight
+    from the seed bytes (no codec) and must match exactly;
+    semantic_dedup precision-checks every reported duplicate with a
+    driver matmul and emits measured recall vs the global exact set."""
+    from rdf2smw_ray.pipelines.queries import q_media_features, q_semantic_dedup
+
+    mf = q_media_features(SF)
+    assert "in_verified_sample" in mf.columns
+    assert mf["in_verified_sample"].sum() > 0  # real, non-vacuous sample
+
+    sd = q_semantic_dedup(SF)
+    assert "recall_vs_exact_pct" in sd.columns
+    assert int(sd["recall_vs_exact_pct"].iloc[0]) == 100  # vacuous on fixture
+
+
+def test_media_features_certification_catches_defects(ray_session, monkeypatch):
+    """Negative control: corrupt the feature kernel and the in-query
+    certification must raise (proves the check is not vacuous)."""
+    import rdf2smw_ray.pipelines.multimodal as mm
+    from rdf2smw_ray.pipelines import queries as Q
+
+    real = mm.media_features
+
+    def broken(media_ds, **kw):
+        ds = real(media_ds, **kw)
+
+        def shift(df):
+            df = df.copy()
+            df["mean_val"] = df["mean_val"] + 1.0
+            return df
+
+        return ds.map_batches(shift, batch_format="pandas")
+
+    monkeypatch.setattr(mm, "media_features", broken)
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="media_features sample mismatch"):
+        Q.q_media_features(SF)
