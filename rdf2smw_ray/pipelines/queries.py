@@ -60,6 +60,71 @@ def _events_cached(sf_dir: str, columns=None):
 
 
 # ---------------------------------------------------------------------------
+# Self-certification helpers (shared by the approximate/rows-only
+# queries — one implementation, five call sites)
+# ---------------------------------------------------------------------------
+def _parquet_nrows(path: str) -> int:
+    """Row count from the parquet FOOTER only (no data pages read) —
+    size-gates driver-side certifications BEFORE any full load, so the
+    'certification skipped (too large)' path costs metadata, not data."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _md5_gate(v) -> bool:
+    """Deterministic ~12.5% certification sample: md5(id) hex < '20'."""
+    import hashlib
+
+    return hashlib.md5(str(int(v)).encode()).hexdigest()[:2] < "20"
+
+
+def _unit_embedding_matrix(sf_dir: str):
+    """Driver-side (sorted ids, unit-normalised row matrix) for cosine
+    certifications. Callers MUST size-gate via _parquet_nrows first."""
+    from rdf2smw_ray.pipelines.ann import _unit
+
+    emb = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float64)[order])
+    return ids, mat
+
+
+def _cosine_cert(sf_dir: str, pairs, threshold: float, *, keepers=None, name: str = ""):
+    """Shared driver-matmul certification for the embedding-dedup
+    family: every reported (flagged, partner) pair must have cosine ≥
+    threshold with partner < flagged (and, when given, partner ∈
+    keepers) — precision 1.0, any violation raises. Returns recall
+    (int %) vs the exact flagged set, vacuously 100 when the corpus
+    has no pair at or above threshold."""
+    ids, mat = _unit_embedding_matrix(sf_dir)
+    sims = mat @ mat.T
+    pos = {int(v): i for i, v in enumerate(ids)}
+    bad = [
+        (a, b)
+        for a, b in pairs
+        if sims[pos[a], pos[b]] < threshold
+        or not b < a
+        or (keepers is not None and b not in keepers)
+    ]
+    if bad:
+        raise AssertionError(f"{name} invalid duplicates: {bad[:5]}")
+    exact_flagged = {
+        int(ids[j]) for j in range(1, len(ids)) if (sims[j, :j] >= threshold).any()
+    }
+    got_flagged = {a for a, _ in pairs}
+    return (
+        np.int64(100)
+        if not exact_flagged
+        else np.int64(len(got_flagged & exact_flagged) * 100 // len(exact_flagged))
+    )
+
+
+# ---------------------------------------------------------------------------
 # KG queries
 # ---------------------------------------------------------------------------
 def kg_mentions(sf_dir: str):
@@ -1868,8 +1933,6 @@ def q_fingerprints(sf_dir: str):
     vectorized-equality pytest pins) and any mismatch raises; verified
     rows are marked in a column. Size-gated to ≤20k docs — at scale the
     vectorized≡scalar pytest still covers the kernel."""
-    import hashlib
-
     from rdf2smw_ray.pipelines.textstats import fingerprint_text
 
     out = fingerprints(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
@@ -1878,15 +1941,15 @@ def q_fingerprints(sf_dir: str):
     verified: set = set()
     if len(out) <= 20_000:
         d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        gate = d["doc_id"].map(
-            lambda v: hashlib.md5(str(v).encode()).hexdigest()[:2] < "20"
-        )
-        sample = d[gate]
+        sample = d[d["doc_id"].map(_md5_gate)]
         got = out.set_index("doc_id")["fingerprint"]
         bad = [
             int(r.doc_id)
             for r in sample.itertuples()
-            if np.uint64(got.get(int(r.doc_id))) != np.uint64(fingerprint_text(r.text or "", 4))
+            # a MISSING output row is a failure too (got.get → None)
+            if got.get(int(r.doc_id)) is None
+            or np.uint64(got.get(int(r.doc_id)))
+            != np.uint64(fingerprint_text(r.text or "", 4))
         ]
         if bad:
             raise AssertionError(
@@ -2161,8 +2224,6 @@ def q_simhash(sf_dir: str):
     (dedup.simhash_text — the same kernel the vectorized-equality
     pytest pins) and raises on any mismatch; the sampled rows are
     marked in a column so the evidence is visible in the output."""
-    import hashlib
-
     from rdf2smw_ray.pipelines.dedup import simhash_text
 
     out = simhashes(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
@@ -2177,10 +2238,7 @@ def q_simhash(sf_dir: str):
     verified: set = set()
     if len(out) <= 20_000:
         d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        gate = d["doc_id"].map(
-            lambda v: hashlib.md5(str(v).encode()).hexdigest()[:2] < "20"
-        )
-        sample = d[gate]
+        sample = d[d["doc_id"].map(_md5_gate)]
         got = out.set_index("doc_id")["simhash"]
         bad = [
             int(r.doc_id)
@@ -2331,8 +2389,6 @@ def q_embedding_near_dup(sf_dir: str):
     positives impossible — a violation raises) and banding recall vs
     the exact set rides along as a column (vacuously 100 when the
     corpus has no near-dup pair, as the synthetic fixture does)."""
-    from rdf2smw_ray.pipelines.ann import _unit
-
     out = embedding_near_dup(_emb(sf_dir), threshold=0.9, concurrency=2).to_pandas()
     if "vec_id" not in out.columns:  # zero near-dup edges
         out = pd.DataFrame(
@@ -2345,33 +2401,9 @@ def q_embedding_near_dup(sf_dir: str):
     out = out.sort_values("vec_id").reset_index(drop=True)
 
     recall_pct = np.int64(-1)  # -1 = certification skipped (too large)
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    if len(emb) <= 4096:
-        ids = emb["vec_id"].to_numpy().astype(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float64)[order])
-        sims = mat @ mat.T
-        pos = {int(v): i for i, v in enumerate(ids)}
-        bad = [
-            (int(r.vec_id), int(r.dup_of))
-            for r in out.itertuples()
-            if sims[pos[int(r.vec_id)], pos[int(r.dup_of)]] < 0.9
-            or not int(r.dup_of) < int(r.vec_id)
-        ]
-        if bad:
-            raise AssertionError(f"embedding_near_dup false positives: {bad[:5]}")
-        exact_flagged = {
-            int(ids[j])
-            for j in range(1, len(ids))
-            if (sims[j, :j] >= 0.9).any()
-        }
-        got_flagged = set(out["vec_id"].astype(int))
-        recall_pct = (
-            np.int64(100)
-            if not exact_flagged
-            else np.int64(len(got_flagged & exact_flagged) * 100 // len(exact_flagged))
-        )
+    if _parquet_nrows(f"{sf_dir}/embeddings.parquet") <= 4096:
+        pairs = [(int(r.vec_id), int(r.dup_of)) for r in out.itertuples()]
+        recall_pct = _cosine_cert(sf_dir, pairs, 0.9, name="embedding_near_dup")
     out["recall_vs_exact_pct"] = recall_pct
     return out
 
@@ -2400,8 +2432,8 @@ def q_simhash_near_dup(sf_dir: str):
     out = out.sort_values("doc_id").reset_index(drop=True)
 
     verified = False
-    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    if len(d) <= 2000:
+    if _parquet_nrows(f"{sf_dir}/documents.parquet") <= 2000:
+        d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         d = d.sort_values("doc_id").reset_index(drop=True)
         ids = d["doc_id"].to_numpy().astype(np.int64)
         sig = np.array(
@@ -2472,9 +2504,17 @@ def q_cms_token_counts(sf_dir: str):
     )
     out["exact"] = out["exact"].astype("int64")
     out["overcount"] = (out["est"] - out["exact"]).astype("int64")
-    if (out["overcount"] < 0).any() or (out["overcount"] > bound).any():
+    # est >= exact is a STRUCTURAL CMS guarantee — always raise on it.
+    # The eN/w bound is PROBABILISTIC (holds per token with prob
+    # >= 1 - e^-d, d=4): a correct sketch can legitimately exceed it
+    # ~1.8% of the time per token, so the 1x bound is emitted as
+    # evidence (within_bound) while only a 2x excursion — per-token
+    # probability <= (2e)^-4 ~ 1e-3 by Markov over all four rows —
+    # hard-fails the row.
+    out["within_bound"] = (out["overcount"] <= bound).astype("int64")
+    if (out["overcount"] < 0).any() or (out["overcount"] > 2 * bound).any():
         raise AssertionError(
-            f"CMS estimates violate the (0, {bound}] overcount bound:\n{out}"
+            f"CMS estimates violate the (0, 2*{bound}] overcount bound:\n{out}"
         )
     return out.sort_values("token").reset_index(drop=True)
 
@@ -2564,8 +2604,6 @@ def q_media_features(sf_dir: str):
     codec round-trip or pooling defect fails the gate row. Size-gated
     to ≤20k items; at scale the codec round-trip pytests still pin
     the kernels."""
-    import hashlib
-
     from rdf2smw_ray.pipelines.multimodal import (
         _MAGIC,
         _seed_bytes,
@@ -2614,11 +2652,7 @@ def q_media_features(sf_dir: str):
     verified: set = set()
     if len(out) <= 20_000:
         by_id = out.set_index("media_id")
-        sample = [
-            int(i)
-            for i in out["media_id"]
-            if hashlib.md5(str(int(i)).encode()).hexdigest()[:2] < "20"
-        ]
+        sample = [int(i) for i in out["media_id"] if _md5_gate(i)]
         bad = []
         for i in sample:
             row = by_id.loc[i]
@@ -2662,7 +2696,7 @@ def q_semantic_dedup(sf_dir: str):
     is <100 by design when a dup pair straddles clusters, so the
     measured value is emitted without a floor; vacuously 100 on this
     fixture)."""
-    from rdf2smw_ray.pipelines.ann import _unit, semantic_dedup
+    from rdf2smw_ray.pipelines.ann import semantic_dedup
 
     out = semantic_dedup(
         _emb(sf_dir), threshold=0.95, target_cluster_size=64
@@ -2672,32 +2706,13 @@ def q_semantic_dedup(sf_dir: str):
     out = out.sort_values("vec_id").reset_index(drop=True)
 
     recall_pct = np.int64(-1)  # -1 = certification skipped (too large)
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    if len(emb) <= 4096:
-        ids = emb["vec_id"].to_numpy().astype(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float64)[order])
-        sims = mat @ mat.T
-        pos = {int(v): i for i, v in enumerate(ids)}
+    if _parquet_nrows(f"{sf_dir}/embeddings.parquet") <= 4096:
         keepers = set(out.loc[out["keep"], "vec_id"].astype(int))
-        bad = [
-            (int(r.vec_id), int(r.dup_of))
-            for r in out[~out["keep"]].itertuples()
-            if sims[pos[int(r.vec_id)], pos[int(r.dup_of)]] < 0.95
-            or not int(r.dup_of) < int(r.vec_id)
-            or int(r.dup_of) not in keepers
+        pairs = [
+            (int(r.vec_id), int(r.dup_of)) for r in out[~out["keep"]].itertuples()
         ]
-        if bad:
-            raise AssertionError(f"semantic_dedup invalid duplicates: {bad[:5]}")
-        exact_flagged = {
-            int(ids[j]) for j in range(1, len(ids)) if (sims[j, :j] >= 0.95).any()
-        }
-        got_flagged = set(out.loc[~out["keep"], "vec_id"].astype(int))
-        recall_pct = (
-            np.int64(100)
-            if not exact_flagged
-            else np.int64(len(got_flagged & exact_flagged) * 100 // len(exact_flagged))
+        recall_pct = _cosine_cert(
+            sf_dir, pairs, 0.95, keepers=keepers, name="semantic_dedup"
         )
     out["recall_vs_exact_pct"] = recall_pct
     return out

@@ -421,7 +421,11 @@ def dedup_spans(docs, *, n: int = 5, num_buckets: int | None = None):
 
 
 DUP_NGRAM_STATS_SQL = r"""
-WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+WITH t AS (SELECT doc_id,
+                  -- filter empties so '' and edge-whitespace text
+                  -- tokenizes exactly like Python str.split()
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
 g AS (
   SELECT doc_id,
          [array_to_string(w[i:i+4], ' ') FOR i IN generate_series(1, len(w)-4)] AS gs
@@ -451,7 +455,11 @@ ORDER BY doc_id
 # generate_series(0, 4) covers the 5 removed positions) — the Python
 # query pins n=5 to match.
 DEDUP_SPANS_SQL = r"""
-WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+WITH t AS (SELECT doc_id,
+                  -- filter empties so '' and edge-whitespace text
+                  -- tokenizes exactly like Python str.split()
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
 occ AS (
   SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram
   FROM (SELECT doc_id,

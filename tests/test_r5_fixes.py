@@ -517,3 +517,57 @@ def test_media_features_certification_catches_defects(ray_session, monkeypatch):
 
     with _pytest.raises(AssertionError, match="media_features sample mismatch"):
         Q.q_media_features(SF)
+
+
+def test_spans_sql_parity_on_empty_and_padded_text(ray_session, tmp_path):
+    """The SQL oracles must tokenize '' and edge-whitespace text
+    exactly like Python str.split() (DuckDB string_split_regex keeps
+    empty edge tokens; the oracles filter them). The shipped fixtures
+    contain no such text, so this pins the edge case directly."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray
+
+    from rdf2smw_ray.pipelines.spans import (
+        DEDUP_SPANS_SQL,
+        DUP_NGRAM_STATS_SQL,
+        dedup_spans,
+        dup_ngram_stats,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f g",
+                    "  a b c d e f g  ",  # padded — same tokens as doc 1
+                    "",
+                    "   ",
+                    "x  y",
+                    "q r s t u a b c d e",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+
+    ds = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    for op, sql, cols in [
+        (dedup_spans, DEDUP_SPANS_SQL, ["n_tokens", "kept_tokens", "removed_tokens", "kept_text"]),
+        (dup_ngram_stats, DUP_NGRAM_STATS_SQL, ["n_grams", "dup_grams", "dup_pct"]),
+    ]:
+        got = op(ds, n=5).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = con.execute(sql).fetch_df().sort_values("doc_id").reset_index(drop=True)
+        for c in cols:
+            assert list(got[c]) == list(want[c]), (op.__name__, c, got[c], want[c])
+    # empty/whitespace docs must read as 0 tokens, and the padded doc
+    # must dedup identically to its unpadded twin
+    dd = dedup_spans(ds, n=5).to_pandas().set_index("doc_id")
+    assert dd.loc[3, "n_tokens"] == 0 and dd.loc[4, "n_tokens"] == 0
+    assert dd.loc[2, "kept_text"] == ""  # full 7-gram span of doc 1 repeated

@@ -319,6 +319,13 @@ def _run_sharded(args) -> int:
     shards = [names[i :: args.procs] for i in range(args.procs)]
     shards = [s for s in shards if s]
     child_cpus = max(4, args.cpus // len(shards))
+    if child_cpus * len(shards) > args.cpus:
+        print(
+            f"WARNING: --procs {len(shards)} x {child_cpus} cpus oversubscribes "
+            f"the --cpus {args.cpus} budget (4-cpu floor per shard); wall times "
+            f"will reflect contention, not the claimed budget",
+            file=sys.stderr,
+        )
     t_start = time.monotonic()
     procs, outs = [], []
     for i, shard in enumerate(shards):
@@ -345,6 +352,8 @@ def _run_sharded(args) -> int:
         ]
         if args.no_overlap:
             cmd.append("--no-overlap")
+        if args.query_threads != 1:
+            cmd += ["--query-threads", str(args.query_threads)]
         procs.append(subprocess.Popen(cmd))
     rcs = [p.wait() for p in procs]
     merged = {"n": 0, "oracle_checked": 0, "fails": [], "drift": []}
