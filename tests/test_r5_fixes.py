@@ -571,3 +571,47 @@ def test_spans_sql_parity_on_empty_and_padded_text(ray_session, tmp_path):
     dd = dedup_spans(ds, n=5).to_pandas().set_index("doc_id")
     assert dd.loc[3, "n_tokens"] == 0 and dd.loc[4, "n_tokens"] == 0
     assert dd.loc[2, "kept_text"] == ""  # full 7-gram span of doc 1 repeated
+
+
+def test_media_features_certification_catches_dropped_rows(ray_session, monkeypatch):
+    """The sample is drawn from the INPUT id set, so an operator that
+    silently drops rows must fail certification (second negative
+    control, complementing the value-corruption one)."""
+    import rdf2smw_ray.pipelines.multimodal as mm
+    from rdf2smw_ray.pipelines import queries as Q
+
+    real = mm.media_features
+
+    def dropping(media_ds, **kw):
+        ds = real(media_ds, **kw)
+        return ds.filter(lambda row: int(row["media_id"]) % 7 != 0)
+
+    monkeypatch.setattr(mm, "media_features", dropping)
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="media_features sample mismatch"):
+        Q.q_media_features(SF)
+
+
+def test_cosine_cert_empty_corpus(ray_session, tmp_path):
+    """An empty embeddings table must certify vacuously (recall 100,
+    no AxisError from the 1-D empty matrix) and reject any reported
+    pairs."""
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.queries import _cosine_cert
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    assert int(_cosine_cert(str(tmp_path), [], 0.9, name="t")) == 100
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="pairs reported on an empty corpus"):
+        _cosine_cert(str(tmp_path), [(2, 1)], 0.9, name="t")
