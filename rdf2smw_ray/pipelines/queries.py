@@ -2983,6 +2983,7 @@ def all_queries():
         "hopping_window_distinct_users": windows.hopping_window_distinct_users,
         "user_event_path": windows.user_event_path,
         "rolling_value_sum": windows.rolling_value_sum,
+        "rolling_time_window": windows.rolling_time_window,
         "user_state_intervals": windows.user_state_intervals,
         "event_transitions": windows.event_transitions,
         "running_user_max": windows.running_user_max,
@@ -3167,6 +3168,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "hopping_window_distinct_users": windows.HOPPING_DISTINCT_SQL,
         "user_event_path": windows.USER_EVENT_PATH_SQL,
         "rolling_value_sum": windows.ROLLING_VALUE_SUM_SQL,
+        "rolling_time_window": windows.ROLLING_TIME_WINDOW_SQL,
         "user_state_intervals": windows.USER_STATE_INTERVALS_SQL,
         "event_transitions": windows.EVENT_TRANSITIONS_SQL,
         "running_user_max": windows.RUNNING_USER_MAX_SQL,

@@ -901,6 +901,91 @@ SELECT event_id,
 FROM events ORDER BY event_id
 """
 
+def rolling_time_window(sf_dir: str, window_hours: int = 1) -> pd.DataFrame:
+    """Trailing EVENT-TIME window aggregate per user: for every event,
+    the SUM (integer cents) and COUNT of the same user's events with
+    ts in [ts - window, ts] — SQL's RANGE BETWEEN INTERVAL ...
+    PRECEDING AND CURRENT ROW frame. Unlike ``rolling_value_sum``
+    (ROWS frame: fixed k lag terms), the RANGE frame's width varies
+    per row AND includes peer rows with equal ts, which makes it
+    position-independent and exactly vectorizable: ONE user-bucket
+    shuffle, inside a bucket one mergesort by (user, ts), then one
+    bucket-wide prefix sum with two ``searchsorted`` boundary scans
+    over a composite (user-rank, ts-offset) key — no per-row loop and
+    no per-user loop. Falls back to per-user-segment scans only in the
+    (never at sane spans) int64-overflow regime of the composite key.
+    Values move as floor(value*100) cents (the one rounding both
+    engines compute identically), so sums are exact int64."""
+    win_us = window_hours * 3_600_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+        users = df["user_id"].to_numpy()
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "win_cents": pa.array([], pa.int64()),
+                    "win_n": pa.array([], pa.int64()),
+                }
+            )
+        seg = np.r_[True, users[1:] != users[:-1]]
+        uidx = np.cumsum(seg) - 1
+        ts0 = int(ts.min())
+        span = (int(ts.max()) - ts0) + win_us + 1
+        pref = np.r_[0, np.cumsum(cents)]
+        if (int(uidx[-1]) + 1) * span < 2**62:
+            # composite key is strictly segment-monotone, and
+            # (comp - win) can never dip below the previous user's
+            # keys because span exceeds the bucket's ts range + win
+            comp = uidx * span + (ts - ts0)
+            lo = np.searchsorted(comp, comp - win_us, side="left")
+            hi = np.searchsorted(comp, comp, side="right")
+        else:  # overflow regime: per-user-segment scans
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(seg)
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                t = ts[s:e]
+                lo[s:e] = s + np.searchsorted(t, t - win_us, side="left")
+                hi[s:e] = s + np.searchsorted(t, t, side="right")
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "win_cents": pa.array(pref[hi] - pref[lo], pa.int64()),
+                "win_n": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    out = (
+        _bucketed_by_user(sf_dir, ["user_id", "event_id", "ts", "value"])
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out["win_cents"] = out["win_cents"].astype("int64")
+    out["win_n"] = out["win_n"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ROLLING_TIME_WINDOW_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS win_cents,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS win_n
+FROM events ORDER BY event_id
+"""
+
+
 _WEEK_US = 7 * 86_400 * 1_000_000
 
 

@@ -615,3 +615,53 @@ def test_cosine_cert_empty_corpus(ray_session, tmp_path):
 
     with _pytest.raises(AssertionError, match="pairs reported on an empty corpus"):
         _cosine_cert(str(tmp_path), [(2, 1)], 0.9, name="t")
+
+
+def test_rolling_time_window_peers_and_boundary(ray_session, tmp_path):
+    """RANGE-frame semantics pinned on adversarial structure: equal-ts
+    peer rows (frame includes ALL peers regardless of position), an
+    event exactly 1h earlier (inclusive preceding bound), one just
+    outside, and negative values — must match DuckDB's
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW exactly."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.windows import (
+        ROLLING_TIME_WINDOW_SQL,
+        rolling_time_window,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600, "s")
+    s = np.timedelta64(1, "s")
+    events = pa.table(
+        {
+            "event_id": pa.array(list(range(8)), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 2], pa.int64()),
+            "ts": pa.array(
+                [
+                    base,            # anchor
+                    base + h,        # exactly 1h later: frame includes anchor
+                    base + h,        # PEER of event 1 (equal ts)
+                    base + h + s,    # anchor now outside (1h+1s)
+                    base + 3 * h,    # isolated
+                    base,            # user 2
+                    base + h - s,    # inside
+                    base + 2 * h,    # outside both
+                ],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.11, 2.22, 4.44, 8.88, 0.5, -3.33, 7.0, 1.0], pa.float64()),
+        }
+    )
+    pq.write_table(events, tmp_path / "events.parquet")
+    got = rolling_time_window(str(tmp_path), window_hours=1)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = con.execute(ROLLING_TIME_WINDOW_SQL).fetch_df()
+    assert got["win_cents"].tolist() == want["win_cents"].tolist()
+    assert got["win_n"].tolist() == want["win_n"].tolist()
+    # the two equal-ts peers must see identical frames (peer inclusion)
+    g = got.set_index("event_id")
+    assert g.loc[1, "win_cents"] == g.loc[2, "win_cents"]
+    assert g.loc[1, "win_n"] == g.loc[2, "win_n"] == 3  # anchor + both peers
