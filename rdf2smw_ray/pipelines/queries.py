@@ -2860,6 +2860,7 @@ def all_queries():
         "pricing_summary": relational.pricing_summary,
         "orders_per_nation": relational.orders_per_nation,
         "top_orders": relational.top_orders,
+        "top_orders_with_ties": relational.top_orders_with_ties,
         "filter_highvalue": relational.filter_highvalue,
         "distinct_event_types": relational.distinct_event_types,
         "events_hourly": relational.events_hourly,
@@ -3037,6 +3038,7 @@ GROUP BY n_name ORDER BY n_name
 SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
+        "top_orders_with_ties": relational.TOP_ORDERS_WITH_TIES_SQL,
         "filter_highvalue": """
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total

@@ -198,6 +198,79 @@ def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def top_orders_with_ties(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Global top-k WITH TIES (SQL ``FETCH FIRST k ROWS WITH TIES`` /
+    ``RANK() <= k``): every order whose price rank is ≤ k — ALL ties on
+    the boundary value are included, so the result is a deterministic
+    ROW SET with no tie-break needed (unlike ``top_orders``'s
+    ROW_NUMBER semantics). Ranking key is integer cents so both
+    engines tie identically.
+
+    Two bounded passes, no global sort: (1) per-block local top-k
+    candidates → the union contains the global top-k multiset, so the
+    k-th largest cents among candidates IS the exact global threshold
+    T (driver state = blocks × k tiny rows); (2) one distributed
+    filter ``cents >= T`` — which equals RANK ≤ k exactly: a row with
+    cents == T has rank 1 + #{cents > T} ≤ k, a row below T has rank
+    1 + #{cents ≥ T} > k. Ranks are then derived on the driver from
+    the retained set alone (every row outranking a retained row is
+    itself retained)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.argsort(cents, kind="stable")[::-1][:k]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[top], pa.int64()),
+                "price_cents": pa.array(cents[top], pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(local_candidates, batch_format="pyarrow").to_pandas()
+    thr = int(cand["price_cents"].nlargest(k).iloc[-1])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        m = cents >= thr
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    batch["o_orderkey"].to_numpy(zero_copy_only=False)[m], pa.int64()
+                ),
+                "price_cents": pa.array(cents[m], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(
+        ["price_cents", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    # dense ranks over the retained set = global RANK (all outranking
+    # rows are retained by construction)
+    greater = np.searchsorted(
+        -out["price_cents"].to_numpy(), -out["price_cents"].to_numpy(), side="left"
+    )
+    out["rnk"] = (greater + 1).astype("int64")
+    return out
+
+
+TOP_ORDERS_WITH_TIES_SQL = """
+WITH r AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+         RANK() OVER (ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC) AS rnk
+  FROM orders)
+SELECT o_orderkey, price_cents, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10 ORDER BY rnk, o_orderkey
+"""
+
+
 def filter_highvalue(sf_dir: str, threshold: float = 400000.0) -> pd.DataFrame:
     """Vectorized filter + projection; returns count + aggregate only
     (small result), not the row stream."""

@@ -665,3 +665,36 @@ def test_rolling_time_window_peers_and_boundary(ray_session, tmp_path):
     g = got.set_index("event_id")
     assert g.loc[1, "win_cents"] == g.loc[2, "win_cents"]
     assert g.loc[1, "win_n"] == g.loc[2, "win_n"] == 3  # anchor + both peers
+
+
+def test_top_orders_with_ties_includes_boundary_ties(ray_session, tmp_path):
+    """WITH TIES semantics pinned on data where the k-th value is tied:
+    the result must contain MORE than k rows (every boundary tie) and
+    match DuckDB RANK() <= k exactly."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.relational import (
+        TOP_ORDERS_WITH_TIES_SQL,
+        top_orders_with_ties,
+    )
+
+    # 3 distinct high values, then FOUR ties straddling the k=10 cut
+    prices = [500.0, 400.0, 300.0] + [200.0] * 4 + [100.0] * 8
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(1, len(prices) + 1)), pa.int64()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = top_orders_with_ties(str(tmp_path), k=10)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'")
+    want = con.execute(TOP_ORDERS_WITH_TIES_SQL).fetch_df()
+    # rank of the 100.0 group = 1 + 3 + 4 = 8 <= 10, so ALL 15 rows stay
+    assert len(got) == len(want) == 15
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["price_cents"].tolist() == want["price_cents"].tolist()
+    assert got["rnk"].tolist() == want["rnk"].tolist()
+    assert got["rnk"].max() == 8
