@@ -774,6 +774,79 @@ ORDER BY 1
 # optimization.  l_quantity is integer-valued, so sums are exact under
 # any addition order and the re-aggregation is oracle-safe.
 # ---------------------------------------------------------------------------
+def cube_order_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus): all FOUR
+    groupings (fine, each one-dim marginal, grand total) — the
+    grouping-sets shape beyond ``rollup_pricing``'s hierarchy. ONE
+    combiner-first scan produces the fine (p, s) aggregate (bounded by
+    |priorities| × |statuses|, a few dozen rows at any corpus size);
+    the three coarser groupings are exact integer re-sums of that tiny
+    base on the driver — the cube is never re-scanned per grouping.
+    Measures are COUNT and floor-cents SUM (exact int64, no float
+    addition-order hazard); rolled-up levels carry the 'ALL' label."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.floor(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+            .agg(cents=("cents", "sum"), n=("cents", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "o_orderstatus": pa.array(g["o_orderstatus"], pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    by_p = (
+        fine.groupby("o_orderpriority", as_index=False)[["cents", "n"]]
+        .sum()
+        .assign(o_orderstatus="ALL")
+    )
+    by_s = (
+        fine.groupby("o_orderstatus", as_index=False)[["cents", "n"]]
+        .sum()
+        .assign(o_orderpriority="ALL")
+    )
+    top = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "cents": [fine["cents"].sum()],
+            "n": [fine["n"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_p, by_s, top], ignore_index=True)[
+        ["o_orderpriority", "o_orderstatus", "cents", "n"]
+    ]
+    out["cents"] = out["cents"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
+CUBE_ORDER_STATS_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY 1, 2
+"""
+
+
 def rollup_pricing(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
