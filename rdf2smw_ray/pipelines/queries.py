@@ -2952,6 +2952,7 @@ def all_queries():
         "dedup_spans": q_dedup_spans,
         "corpus_diff": diff.corpus_diff_query,
         "corpus_report": report.corpus_report,
+        "table_checksum": report.table_checksum,
         "lang_id": q_lang_id,
         "lang_confusion": q_lang_confusion,
         "fingerprints": q_fingerprints,
@@ -3098,6 +3099,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "dedup_spans": spans.DEDUP_SPANS_SQL,
         "corpus_diff": diff.CORPUS_DIFF_SQL,
         "corpus_report": report.corpus_report_sql(QUALITY_FILTER_SQL),
+        "table_checksum": report.TABLE_CHECKSUM_SQL,
         "lang_id": LANG_ID_SQL,
         "lang_confusion": LANG_CONFUSION_SQL,
         # fingerprints, minhash_dedup, simhash(+near_dup), ann_lsh_topk,

@@ -135,3 +135,86 @@ SELECT metric, value FROM (
   FROM dupmass
 ) ORDER BY metric
 """
+
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def table_checksum(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Order-independent per-partition integrity checksum over the
+    documents table — the anti-entropy primitive a replicated store
+    runs to locate divergent partitions without moving data: two
+    replicas compare the tiny (bucket, n, checksum) result and ship
+    only buckets that differ.
+
+    Per row h = int(md5(doc_id|text)[:15 hex], 16); the bucket
+    checksum is SUM(h) mod 2^61-1 — modular addition is commutative
+    and associative, so the value is independent of row order, block
+    split, and parallelism, and per-batch partials (each reduced mod M
+    to stay in int64) fold exactly on the driver. Driver state =
+    blocks × num_buckets tiny rows. The DuckDB oracle folds the same
+    15-hex-digit prefix positionally (powers of 16 are powers of 2 —
+    exact in float64) and sums in HUGEINT, so the checksum hash-checks
+    cross-engine."""
+    import hashlib
+
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+
+    ds = cached_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        buckets = ids % num_buckets
+        sums = np.zeros(num_buckets, dtype=object)
+        counts = np.zeros(num_buckets, dtype=np.int64)
+        for i, t, b in zip(ids, texts, buckets):
+            h = int(
+                hashlib.md5(f"{i}|{t or ''}".encode("utf-8")).hexdigest()[:15], 16
+            )
+            sums[b] += h
+            counts[b] += 1
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+                "part": pa.array(
+                    [int(sums[b]) % _MERSENNE61 for b in nz], pa.int64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("bucket", as_index=False)
+        .agg(
+            n=("n", "sum"),
+            checksum=("part", lambda s: int(sum(int(v) for v in s)) % _MERSENNE61),
+        )
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["checksum"] = out["checksum"].astype("int64")
+    return out
+
+
+TABLE_CHECKSUM_SQL = r"""
+WITH h AS (
+  SELECT doc_id % 16 AS bucket,
+         substr(md5(CONCAT(CAST(doc_id AS VARCHAR), '|', COALESCE(text, ''))), 1, 15) AS hx
+  FROM documents),
+v AS (
+  SELECT bucket, CAST(list_sum([
+    (CASE WHEN hx[i] >= '0' AND hx[i] <= '9' THEN ascii(hx[i]) - 48
+          ELSE ascii(hx[i]) - 87 END)
+    * CAST(power(16, 15 - i) AS BIGINT)
+    FOR i IN generate_series(1, 15)]) AS HUGEINT) AS hv
+  FROM h)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(hv) % 2305843009213693951 AS BIGINT) AS checksum
+FROM v GROUP BY 1 ORDER BY 1
+"""

@@ -698,3 +698,51 @@ def test_top_orders_with_ties_includes_boundary_ties(ray_session, tmp_path):
     assert got["price_cents"].tolist() == want["price_cents"].tolist()
     assert got["rnk"].tolist() == want["rnk"].tolist()
     assert got["rnk"].max() == 8
+
+
+def test_table_checksum_partitioning_invariant(ray_session, tmp_path):
+    """The checksum must be identical under any row order and block
+    split (modular addition is commutative/associative) and must
+    CHANGE when any row's text changes."""
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.report import table_checksum
+
+    rng = np.random.RandomState(7)
+    n = 300
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([f"text {i} {'x' * (i % 17)}" for i in range(n)], pa.string()),
+        }
+    )
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    pq.write_table(docs, d1 / "documents.parquet")
+    base = table_checksum(str(d1))
+
+    # shuffled row order, different file split
+    perm = rng.permutation(n)
+    shuf = docs.take(perm)
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    pq.write_table(shuf.slice(0, 100), d2 / "documents.parquet")
+    # single-file reader: also verify a one-file shuffled copy matches
+    d3 = tmp_path / "c"
+    d3.mkdir()
+    pq.write_table(shuf, d3 / "documents.parquet")
+    assert table_checksum(str(d3)).equals(base)
+
+    # a single changed row flips exactly that bucket's checksum
+    texts = docs["text"].to_pylist()
+    texts[42] = "tampered"
+    d4 = tmp_path / "d"
+    d4.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": docs["doc_id"], "text": pa.array(texts, pa.string())}),
+        d4 / "documents.parquet",
+    )
+    tampered = table_checksum(str(d4))
+    diff = base.merge(tampered, on="bucket", suffixes=("_a", "_b"))
+    changed = diff[diff["checksum_a"] != diff["checksum_b"]]["bucket"].tolist()
+    assert changed == [42 % 16]
