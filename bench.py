@@ -282,6 +282,13 @@ def run_queries(num_cpus: int) -> dict:
         "small_quantity_revenue",
         "distinct_users_per_hour",
         "value_quartiles_per_event_type",
+        # round-5 additions
+        "dedup_spans",
+        "semantic_dedup",
+        "rolling_time_window",
+        "top_orders_with_ties",
+        "cube_order_stats",
+        "table_checksum",
     ]
     q = all_queries()
     times = {}
