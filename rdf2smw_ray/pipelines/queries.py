@@ -2882,6 +2882,7 @@ def all_queries():
         "price_histogram": relational.price_histogram,
         "order_value_rank": ranking.order_value_rank,
         "order_rank_in_priority": ranking.order_rank_in_priority,
+        "quantile_normalize": ranking.quantile_normalize,
         "quantity_dense_rank": ranking.quantity_dense_rank,
         "value_gini": ranking.value_gini,
         "nation_accounts": relational.nation_accounts,
@@ -3133,6 +3134,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "price_histogram": relational.PRICE_HISTOGRAM_SQL,
         "order_value_rank": ranking.ORDER_VALUE_RANK_SQL,
         "order_rank_in_priority": ranking.ORDER_RANK_IN_PRIORITY_SQL,
+        "quantile_normalize": ranking.QUANTILE_NORMALIZE_SQL,
         "quantity_dense_rank": ranking.QUANTITY_DENSE_RANK_SQL,
         "value_gini": ranking.VALUE_GINI_SQL,
         "nation_accounts": relational.NATION_ACCOUNTS_SQL,

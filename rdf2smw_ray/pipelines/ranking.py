@@ -362,6 +362,55 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def quantile_normalize(sf_dir: str) -> pd.DataFrame:
+    """Quantile normalization per key — the ML feature-preprocessing
+    transform: each event's value is replaced by its integer per-mille
+    percentile rank within its event_type, permille =
+    (rank-1)*1000 // (n-1). Composes :func:`grouped_rank` (the bounded
+    composite-(key, range-bucket) scan — no whole-partition tasks)
+    over floor-cents values, so ranking ties and the final integers
+    are bit-identical cross-engine; the per-key n comes free as the
+    max rank. Single-row groups floor-guard the denominator at 1."""
+    from rdf2smw_ray.pipelines.relational import _read
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "event_id": batch["event_id"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ranked = grouped_rank(
+        ds.map_batches(add_cents, batch_format="pyarrow"),
+        key_col="event_type",
+        value_col="cents",
+        id_col="event_id",
+    )
+    n = ranked.groupby("event_type")["rnk"].transform("max").to_numpy()
+    ranked["permille"] = (
+        (ranked["rnk"].to_numpy() - 1) * 1000 // np.maximum(n - 1, 1)
+    ).astype("int64")
+    out = ranked[["event_id", "event_type", "permille"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+QUANTILE_NORMALIZE_SQL = """
+SELECT event_id, event_type,
+       CAST((ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY CAST(FLOOR(value * 100) AS BIGINT), event_id) - 1) * 1000
+            // GREATEST(COUNT(*) OVER (PARTITION BY event_type) - 1, 1)
+            AS BIGINT) AS permille
+FROM events ORDER BY event_id
+"""
+
+
 def quantity_dense_rank(sf_dir: str) -> pd.DataFrame:
     """DENSE_RANK completion of the window-rank family: the dense rank
     of each distinct quantity within its return flag. Dense rank ==
