@@ -196,3 +196,52 @@ SELECT rule, n_bad FROM (
     (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)
 ) ORDER BY rule
 """
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Privacy DQ audit: quasi-identifier groups smaller than k — the
+    k-anonymity check run before releasing a dataset (a group of
+    fewer than k customers sharing (nation, market segment) is
+    re-identifiable). Combiner-first: per-batch partial counts over
+    the QI pair, ONE groupby over at most |nations| × |segments|
+    rows, HAVING on the driver-side tiny result."""
+    from ray.data.aggregate import Sum
+
+    from rdf2smw_ray.pipelines.io_cache import cached_table
+
+    ds = cached_table(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["c_nationkey", "c_mktsegment"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    g["c_nationkey"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "c_mktsegment": pa.array(g["c_mktsegment"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = counts[counts["n"] < k].copy()
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["c_nationkey", "c_mktsegment"]).reset_index(drop=True)
+
+
+K_ANONYMITY_SQL = """
+SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10
+ORDER BY 1, 2
+"""

@@ -2912,6 +2912,7 @@ def all_queries():
         "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         "fuzzy_customer_pairs": fuzzy.fuzzy_customer_pairs,
         "dq_violations": dq.dq_violations,
+        "k_anonymity_audit": dq.k_anonymity_audit,
         "fuzzy_part_canon": fuzzy.fuzzy_part_canon,
         "heavy_hitters": q_heavy_hitters,
         "url_dedup": q_url_dedup,
@@ -2989,6 +2990,7 @@ def all_queries():
         "rolling_value_sum": windows.rolling_value_sum,
         "rolling_time_window": windows.rolling_time_window,
         "user_state_intervals": windows.user_state_intervals,
+        "churned_users": windows.churned_users,
         "event_transitions": windows.event_transitions,
         "running_user_max": windows.running_user_max,
         "cohort_retention": windows.cohort_retention,
@@ -3164,6 +3166,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_PAIRS_SQL,
         "fuzzy_customer_pairs": fuzzy.FUZZY_CUSTOMER_PAIRS_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,
+        "k_anonymity_audit": dq.K_ANONYMITY_SQL,
+        "churned_users": windows.CHURNED_USERS_SQL,
         "fuzzy_part_canon": fuzzy.FUZZY_PART_CANON_SQL,
         "sessionize": windows.SESSIONIZE_SQL,
         "asof_click_before_purchase": windows.ASOF_SQL,

@@ -1206,3 +1206,72 @@ SELECT event_id,
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_max_cents
 FROM events ORDER BY event_id
 """
+
+
+def churned_users(
+    sf_dir: str, threshold: float = 300.0, split: str = "2024-01-16"
+) -> pd.DataFrame:
+    """Relational EXCEPT as one combiner-first shuffle: users with a
+    high-value purchase BEFORE the split instant but none after —
+    cohort churn on a behavioral predicate. Each batch reduces to
+    distinct (user, early, late) flag rows, the groupby MAXes the two
+    flags per user (shuffle volume ≤ distinct users, never events),
+    and the EXCEPT is the (early=1, late=0) filter on that tiny
+    result. The value threshold compares the raw double with the same
+    literal in both engines, so set membership is IEEE-identical."""
+    from ray.data.aggregate import Max
+
+    split_us = np.datetime64(split).astype("datetime64[us]").astype(np.int64)
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["event_type"] == "purchase") & (df["value"] >= threshold)]
+        if df.empty:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "early": pa.array([], pa.int64()),
+                    "late": pa.array([], pa.int64()),
+                }
+            )
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(),
+                    "early": (ts_us < split_us).astype(np.int64),
+                    "late": (ts_us >= split_us).astype(np.int64),
+                }
+            )
+            .groupby("user_id", as_index=False)
+            .max()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "early": pa.array(g["early"].to_numpy(), pa.int64()),
+                "late": pa.array(g["late"].to_numpy(), pa.int64()),
+            }
+        )
+
+    flags = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("early", alias_name="early"), Max("late", alias_name="late"))
+        .to_pandas()
+    )
+    out = flags[(flags["early"] == 1) & (flags["late"] == 0)][["user_id"]]
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+CHURNED_USERS_SQL = """
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value >= 300 AND ts < TIMESTAMP '2024-01-16'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value >= 300 AND ts >= TIMESTAMP '2024-01-16'
+) ORDER BY user_id
+"""
