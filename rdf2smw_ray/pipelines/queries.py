@@ -2876,6 +2876,7 @@ def all_queries():
         "pareto_orders": relational.pareto_orders,
         "rollup_pricing": relational.rollup_pricing,
         "cube_order_stats": relational.cube_order_stats,
+        "weighted_median_prices": relational.weighted_median_prices,
         "event_type_pivot": relational.event_type_pivot,
         "event_counts_long": relational.event_counts_long,
         "mode_event_type": relational.mode_event_type,
@@ -3130,6 +3131,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
         "pareto_orders": relational.PARETO_ORDERS_SQL,
         "rollup_pricing": relational.ROLLUP_PRICING_SQL,
         "cube_order_stats": relational.CUBE_ORDER_STATS_SQL,
+        "weighted_median_prices": relational.WEIGHTED_MEDIAN_SQL,
         "event_type_pivot": relational.EVENT_TYPE_PIVOT_SQL,
         "event_counts_long": relational.EVENT_COUNTS_LONG_SQL,
         "mode_event_type": relational.MODE_EVENT_TYPE_SQL,

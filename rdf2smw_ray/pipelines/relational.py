@@ -774,6 +774,69 @@ ORDER BY 1
 # optimization.  l_quantity is integer-valued, so sums are exact under
 # any addition order and the re-aggregation is oracle-safe.
 # ---------------------------------------------------------------------------
+def weighted_median_prices(sf_dir: str) -> pd.DataFrame:
+    """Exact WEIGHTED median per key — the order statistic mixture
+    reweighting needs (each value counts with its quantity, not once).
+    Lower weighted median: smallest v with 2·cumweight(≤v) ≥ total
+    weight, all integer (floor-cents values, BIGINT weights), so both
+    engines agree exactly.
+
+    Scale shape: per-batch partial (key, value, weight-sum) combiner →
+    ONE groupby over DISTINCT (key, cents) pairs — bounded by the
+    price RANGE in cents × |keys|, not by row count (59.8k distinct
+    prices here regardless of how many lineitems share them) — then a
+    per-key prefix scan over that bounded result on the driver. The
+    same move as the histogram-refinement percentiles, with the value
+    domain itself as the (already-small) histogram."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v"] = np.floor(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df["w"] = df["l_quantity"].to_numpy().astype(np.int64)
+        g = df.groupby(["l_returnflag", "v"], sort=False)["w"].sum().reset_index()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+                "v": pa.array(g["v"].to_numpy(), pa.int64()),
+                "w": pa.array(g["w"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "v"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+        .sort_values(["l_returnflag", "v"], kind="mergesort")
+    )
+    rows = []
+    for k, g in agg.groupby("l_returnflag", sort=True):
+        cum = g["w"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        idx = int(np.searchsorted(cum * 2, tot, side="left"))
+        rows.append((k, int(g["v"].to_numpy()[idx])))
+    return pd.DataFrame(rows, columns=["l_returnflag", "wmedian_cents"]).astype(
+        {"wmedian_cents": "int64"}
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH c AS (SELECT l_returnflag AS k,
+                  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+                  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+a AS (SELECT k, v, SUM(w) AS w FROM c GROUP BY 1, 2),
+r AS (SELECT k, v, SUM(w) OVER (PARTITION BY k ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY k) AS tot FROM a)
+SELECT k AS l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian_cents
+FROM r WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1
+"""
+
+
 def cube_order_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY CUBE(o_orderpriority, o_orderstatus): all FOUR
     groupings (fine, each one-dim marginal, grand total) — the

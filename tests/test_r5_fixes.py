@@ -746,3 +746,34 @@ def test_table_checksum_partitioning_invariant(ray_session, tmp_path):
     diff = base.merge(tampered, on="bucket", suffixes=("_a", "_b"))
     changed = diff[diff["checksum_a"] != diff["checksum_b"]]["bucket"].tolist()
     assert changed == [42 % 16]
+
+
+def test_weighted_median_tie_boundary(ray_session, tmp_path):
+    """Lower-weighted-median boundary pinned: when the cumulative
+    weight hits EXACTLY half the total (cum*2 == tot), the smaller
+    value wins in both engines."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.relational import (
+        WEIGHTED_MEDIAN_SQL,
+        weighted_median_prices,
+    )
+
+    li = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "A", "B", "B", "B"], pa.string()),
+            "l_extendedprice": pa.array([1.00, 2.00, 1.00, 2.00, 3.00], pa.float64()),
+            "l_quantity": pa.array([5.0, 5.0, 1.0, 1.0, 6.0], pa.float64()),
+        }
+    )
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    got = weighted_median_prices(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'")
+    want = con.execute(WEIGHTED_MEDIAN_SQL).fetch_df()
+    assert got["wmedian_cents"].tolist() == want["wmedian_cents"].tolist()
+    # A: 5 vs 5 — exact half at v=100, the SMALLER value wins
+    assert got.set_index("l_returnflag").loc["A", "wmedian_cents"] == 100
+    # B: weight mass 1,1,6 — median lands on 300
+    assert got.set_index("l_returnflag").loc["B", "wmedian_cents"] == 300
