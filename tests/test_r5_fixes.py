@@ -777,3 +777,64 @@ def test_weighted_median_tie_boundary(ray_session, tmp_path):
     assert got.set_index("l_returnflag").loc["A", "wmedian_cents"] == 100
     # B: weight mass 1,1,6 — median lands on 300
     assert got.set_index("l_returnflag").loc["B", "wmedian_cents"] == 300
+
+
+def test_rolling_time_window_property_random(ray_session, tmp_path):
+    """Property check: the composite-key vectorized kernel equals an
+    O(n²) per-row brute force on randomized small logs — duplicate
+    timestamps, tight clusters, singleton users, exact-boundary gaps."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.windows import rolling_time_window
+
+    base = np.int64(1_700_000_000_000_000)  # us epoch
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),          # user
+                st.integers(min_value=0, max_value=4 * 3600),   # ts offset (s)
+                st.integers(min_value=-500, max_value=500),     # cents
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(rows):
+        counter[0] += 1
+        d = tmp_path / f"case{counter[0]}"
+        d.mkdir()
+        n = len(rows)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(list(range(n)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    (base + np.array([r[1] for r in rows], dtype=np.int64) * 1_000_000)
+                    .astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([r[2] / 100.0 for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet")
+        got = rolling_time_window(str(d), window_hours=1).set_index("event_id")
+        # brute force: all rows of same user with ts in [ts_i - 1h, ts_i]
+        ts = np.array([r[1] for r in rows], dtype=np.int64) * 1_000_000
+        cents = np.floor(np.array([r[2] / 100.0 for r in rows]) * 100).astype(np.int64)
+        for i in range(n):
+            m = np.array(
+                [
+                    rows[j][0] == rows[i][0]
+                    and ts[i] - 3_600_000_000 <= ts[j] <= ts[i]
+                    for j in range(n)
+                ]
+            )
+            assert got.loc[i, "win_cents"] == int(cents[m].sum()), (i, rows)
+            assert got.loc[i, "win_n"] == int(m.sum()), (i, rows)
+
+    run()
