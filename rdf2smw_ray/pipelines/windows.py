@@ -1261,6 +1261,9 @@ def churned_users(
         .aggregate(Max("early", alias_name="early"), Max("late", alias_name="late"))
         .to_pandas()
     )
+    if flags.empty or "early" not in flags.columns:
+        # all-empty upstream: Ray drops the aggregate columns entirely
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
     out = flags[(flags["early"] == 1) & (flags["late"] == 0)][["user_id"]]
     out["user_id"] = out["user_id"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
