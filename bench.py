@@ -289,6 +289,10 @@ def run_queries(num_cpus: int) -> dict:
         "top_orders_with_ties",
         "cube_order_stats",
         "table_checksum",
+        "quantile_normalize",
+        "churned_users",
+        "k_anonymity_audit",
+        "weighted_median_prices",
     ]
     q = all_queries()
     times = {}

@@ -234,6 +234,15 @@ def k_anonymity_audit(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if counts.empty or "n" not in counts.columns:
+        # all-empty upstream drops the aggregate column (project gotcha)
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series([], dtype="int64"),
+                "c_mktsegment": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
     out = counts[counts["n"] < k].copy()
     out["c_nationkey"] = out["c_nationkey"].astype("int64")
     out["n"] = out["n"].astype("int64")

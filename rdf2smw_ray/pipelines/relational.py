@@ -231,6 +231,15 @@ def top_orders_with_ties(sf_dir: str, k: int = 10) -> pd.DataFrame:
         )
 
     cand = ds.map_batches(local_candidates, batch_format="pyarrow").to_pandas()
+    if cand.empty or "price_cents" not in cand.columns:
+        # all-empty upstream drops the columns entirely (project gotcha)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "price_cents": pd.Series([], dtype="int64"),
+                "rnk": pd.Series([], dtype="int64"),
+            }
+        )
     thr = int(cand["price_cents"].nlargest(k).iloc[-1])
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -797,7 +806,9 @@ def weighted_median_prices(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["v"] = np.floor(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        df["w"] = df["l_quantity"].to_numpy().astype(np.int64)
+        # np.round (half-even) matches CAST(... AS BIGINT) in the SQL
+        # oracle on non-integral quantities; astype would truncate
+        df["w"] = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
         g = df.groupby(["l_returnflag", "v"], sort=False)["w"].sum().reset_index()
         return pa.table(
             {

@@ -186,6 +186,16 @@ def table_checksum(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "bucket" not in parts.columns:
+        # an empty table has 0 populated buckets — return the typed
+        # empty frame the SQL oracle produces, don't raise
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "checksum": pd.Series([], dtype="int64"),
+            }
+        )
     out = (
         parts.groupby("bucket", as_index=False)
         .agg(

@@ -721,16 +721,13 @@ def test_table_checksum_partitioning_invariant(ray_session, tmp_path):
     pq.write_table(docs, d1 / "documents.parquet")
     base = table_checksum(str(d1))
 
-    # shuffled row order, different file split
+    # shuffled row order must checksum identically
     perm = rng.permutation(n)
     shuf = docs.take(perm)
-    d2 = tmp_path / "b"
-    d2.mkdir()
-    pq.write_table(shuf.slice(0, 100), d2 / "documents.parquet")
-    # single-file reader: also verify a one-file shuffled copy matches
     d3 = tmp_path / "c"
     d3.mkdir()
-    pq.write_table(shuf, d3 / "documents.parquet")
+    pq.write_table(shuf, d3 / "documents.parquet", row_group_size=37)
+    # the odd row_group_size forces different block boundaries too
     assert table_checksum(str(d3)).equals(base)
 
     # a single changed row flips exactly that bucket's checksum
@@ -838,3 +835,88 @@ def test_rolling_time_window_property_random(ray_session, tmp_path):
             assert got.loc[i, "win_n"] == int(m.sum()), (i, rows)
 
     run()
+
+
+def test_rolling_time_window_overflow_fallback(ray_session, tmp_path):
+    """The composite-key product can exceed int64 (many users × a wide
+    ts span); the per-user-segment fallback must produce the same
+    RANGE-frame result. 1100 users spread over ~150 years makes
+    (n_users)·span > 2^62 — asserted as the branch precondition — and
+    the output is checked against the DuckDB oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.windows import (
+        ROLLING_TIME_WINDOW_SQL,
+        rolling_time_window,
+    )
+
+    n_users = 1100
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    day_us = 86_400_000_000
+    # two events per user: 30 min apart (inside the 1h window), users
+    # spaced 50 days apart → ts range ≈ 150 years
+    ts, users, eids = [], [], []
+    for u in range(n_users):
+        t0 = base + u * 50 * day_us
+        ts += [t0, t0 + 1_800_000_000]
+        users += [u, u]
+        eids += [2 * u, 2 * u + 1]
+    span = (max(ts) - min(ts)) + 3_600_000_000 + 1
+    assert n_users * span >= 2**62  # precondition: fallback branch runs
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]"), pa.timestamp("us")),
+            "value": pa.array([1.0] * len(ts), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = rolling_time_window(str(tmp_path), window_hours=1)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = con.execute(ROLLING_TIME_WINDOW_SQL).fetch_df()
+    assert got["win_cents"].tolist() == want["win_cents"].tolist()
+    assert got["win_n"].tolist() == want["win_n"].tolist()
+    # second event of each user sees both events (30 min < 1h window)
+    assert got.set_index("event_id").loc[1, "win_n"] == 2
+
+
+def test_new_operators_empty_inputs(ray_session, tmp_path):
+    """Every late-round operator must return its typed empty frame on
+    an empty input table, matching the SQL oracle, instead of raising
+    on the all-empty-upstream column-drop gotcha."""
+    import pyarrow.parquet as pq
+
+    from rdf2smw_ray.pipelines.dq import k_anonymity_audit
+    from rdf2smw_ray.pipelines.relational import top_orders_with_ties
+    from rdf2smw_ray.pipelines.report import table_checksum
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_nationkey": pa.array([], pa.int64()),
+                "c_mktsegment": pa.array([], pa.string()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    assert len(top_orders_with_ties(str(tmp_path))) == 0
+    assert len(k_anonymity_audit(str(tmp_path))) == 0
+    assert len(table_checksum(str(tmp_path))) == 0
